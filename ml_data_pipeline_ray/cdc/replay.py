@@ -1,0 +1,414 @@
+"""CDC changelog replay — the flagship Ray-Data-native pipeline.
+
+Implements the north rule from BASELINE.json: a binlog/WAL-style change-event
+tailer over Parquet transcript tables. Change events
+``(lsn, op ∈ {insert,update,delete}, conv_id, turn_idx, payload…)`` stream as
+zero-copy Arrow batches through ``ray.data.Dataset.map_batches``, are
+hash-partitioned by ``conv_id`` and merged with per-key last-writer-wins LSN
+ordering into a partitioned Parquet lake with an exactly-once manifest commit
+(:mod:`.manifest`).
+
+Dataflow (SURVEY.md §7.1)::
+
+    read_parquet(changelog, filter = lsn > checkpoint, schema = unified)
+      -> map_batches(normalize: align schema, op->rank, pid = hash(conv_id) % P,
+                     per-batch LWW combiner)                     [stateless tasks]
+      -> [optional two-stage skew path: groupby(pid, salt) partial LWW reduce]
+      -> groupby(pid).map_groups(merge with current lake partition,  [THE one
+                                 write staged partition file)         wide step]
+      -> driver: collect tiny metrics table -> atomic manifest commit    [2PC]
+
+Correctness depends only on per-key max-LSN (commutative across arrival
+order), so Ray's unordered streaming execution is safe and duplicate /
+out-of-order / late events are absorbed (idempotent replay ⇒ exactly-once
+effect on at-least-once delivery). Tie-break at equal LSN: op precedence
+delete > update > insert (documented engine rule; the reference is silent —
+SURVEY.md §4 "Ordering").
+
+Reference parity: this replaces the reference's single-threaded
+source→transform→sink loop (``ml-data/ml-data-core/src/schedule.rs:150-235``)
+with the Ray Data streaming executor; the keyed upsert is the reference's
+nearest-analog of dictionary-merge state (``string_cache.rs:155-260``)
+re-expressed as a distributed groupby (SURVEY.md §2.4 ST7, §2.5).
+
+Scale notes (100 TB / 10^10 events):
+- ``num_partitions`` is the unit of merge parallelism and of lake layout;
+  size it to ~2-4x total cluster cores so one partition's state fits a
+  worker heap. The changelog is processed in LSN-ordered rounds
+  (:meth:`CDCEngine.replay_in_rounds`) so merge state is bounded per round
+  (SURVEY.md §7.5.2).
+- The only all-to-all exchange is the single ``groupby(pid)``; the
+  per-batch LWW combiner runs before it (map-side partial reduce), and the
+  optional salted first pass (``two_stage=True``) spreads a hot
+  conversation's reduce work over ``salts`` subgroups before the final
+  per-partition merge — the north star's "second groupby-aggregate pass".
+- Reads prune with column projection + ``lsn > checkpoint`` row-group
+  pushdown (reference P3 analog, ``parquet/predicates.rs:336-375`` — built
+  into ``read_parquet``, not reimplemented).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .manifest import LakeManifest
+
+# internal column names (never user-facing)
+PID_COL = "_pid"
+RANK_COL = "_rank"
+SALT_COL = "_salt"
+LAKE_LSN_COL = "_lsn"
+LAKE_DELETED_COL = "_deleted"
+
+OPS = ["insert", "update", "delete"]  # rank 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels
+# ---------------------------------------------------------------------------
+
+def stable_hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a string column (vectorized siphash via
+    pandas; stable across processes — engine-internal use only)."""
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np_arr, categorize=True)
+
+
+def lww_winners(tbl: pa.Table, key: list[str], lsn_col: str = "lsn",
+                rank_col: str = RANK_COL) -> pa.Table:
+    """Keep, per key, the single row with max ``(lsn, rank)`` — the
+    last-writer-wins reduce. Pure Arrow, O(n log n) sort + one vectorized
+    boundary scan; no Python per-row work."""
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    sort_keys = [(k, "ascending") for k in key] + [(lsn_col, "ascending"),
+                                                  (rank_col, "ascending")]
+    tbl = tbl.sort_by(sort_keys)
+    # a row wins iff the next row has a different key (last of each run)
+    neq = None
+    for k in key:
+        col = tbl.column(k).combine_chunks()
+        d = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+        d = pc.fill_null(d, True)
+        neq = d if neq is None else pc.or_(neq, d)
+    mask = np.ones(n, dtype=bool)
+    mask[: n - 1] = neq.to_numpy(zero_copy_only=False)
+    return tbl.filter(pa.array(mask))
+
+
+def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Schema evolution at the batch level: add missing columns as nulls and
+    cast widened types, mirroring the reference's ``compatible_with`` numeric
+    widening lattice (``ml-data/ml-data-core/src/schema.rs:206-253``) via
+    Arrow casts."""
+    cols = []
+    for field in schema:
+        if field.name in batch.column_names:
+            col = batch.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(batch.num_rows, type=field.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def unify_parquet_schemas(files: Iterable[str]) -> pa.Schema:
+    """Unified (permissively promoted) schema across parquet footers —
+    metadata-only reads, cheap even for many files."""
+    schemas = [pq.read_schema(f) for f in files]
+    return pa.unify_schemas(schemas, promote_options="permissive")
+
+
+def _expand_paths(paths: str | list[str]) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")))
+        else:
+            out.append(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages (stateless map_batches functions — closures are small)
+# ---------------------------------------------------------------------------
+
+def _make_normalizer(schema: pa.Schema, key: list[str], lsn_col: str,
+                     op_col: str, num_partitions: int, salts: int,
+                     combine: bool):
+    """Batch normalizer: schema-align, op->rank, partition id, optional
+    per-batch LWW combiner (map-side partial reduce before the shuffle)."""
+    op_values = pa.array(OPS, type=pa.string())
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        batch = align_to_schema(batch, schema)
+        rank = pc.index_in(batch.column(op_col), value_set=op_values).cast(pa.int8())
+        h = stable_hash_strings(batch.column(key[0]))
+        pid = (h % np.uint64(num_partitions)).astype(np.int32)
+        salt = (batch.column(lsn_col).to_numpy() % salts).astype(np.int8)
+        batch = batch.drop_columns([op_col])
+        batch = batch.append_column(RANK_COL, rank)
+        batch = batch.append_column(PID_COL, pa.array(pid))
+        batch = batch.append_column(SALT_COL, pa.array(salt))
+        if combine:
+            batch = lww_winners(batch, key, lsn_col)
+        return batch
+
+    return normalize
+
+
+def _make_partial_reducer(key: list[str], lsn_col: str):
+    """Stage-1 of the salted skew path: per-(pid, salt) LWW reduce."""
+    def reduce_group(group: pa.Table) -> pa.Table:
+        return lww_winners(group, key, lsn_col)
+    return reduce_group
+
+
+def _make_merger(key: list[str], lsn_col: str, payload_schema: pa.Schema,
+                 cur_files: dict[int, str], checkpoints: dict[int, int],
+                 version: int, txn_dir: str):
+    """Final per-partition merge: fold the partition's new winners into the
+    current lake partition state and write the staged partition file.
+
+    Runs once per pid inside ``groupby(pid).map_groups``; reads/writes go to
+    the lake directory (shared storage on a real cluster). Returns a single
+    metrics row — the driver only ever collects P tiny rows.
+    """
+    payload_names = [f.name for f in payload_schema]
+
+    def merge(group: pa.Table) -> pd.DataFrame:
+        pid = int(group.column(PID_COL)[0].as_py())
+        ckpt = checkpoints.get(pid, -1)
+        ev = group.filter(pc.greater(group.column(lsn_col), pa.scalar(ckpt)))
+        if ev.num_rows == 0:
+            return pd.DataFrame([{"pid": pid, "action": "skip", "file": "",
+                                  "last_lsn": ckpt, "rows": 0, "tombstones": 0,
+                                  "events_applied": 0}])
+        ev = ev.select(payload_names + [lsn_col, RANK_COL])
+
+        cur_path = cur_files.get(pid)
+        if cur_path and os.path.exists(cur_path):
+            cur = pq.read_table(cur_path)
+            deleted = cur.column(LAKE_DELETED_COL)
+            cur_rank = pc.if_else(deleted, pa.scalar(2, pa.int8()),
+                                  pa.scalar(1, pa.int8()))
+            cur = cur.drop_columns([LAKE_DELETED_COL])
+            cur = cur.rename_columns(
+                [lsn_col if c == LAKE_LSN_COL else c for c in cur.column_names])
+            cur = cur.append_column(RANK_COL, cur_rank)
+            combined = pa.concat_tables([cur, ev], promote_options="permissive")
+        else:
+            combined = ev
+
+        winners = lww_winners(combined, key, lsn_col)
+        is_deleted = pc.equal(winners.column(RANK_COL), pa.scalar(2, pa.int8()))
+        out_names = [c for c in winners.column_names if c not in (lsn_col, RANK_COL)]
+        lake_tbl = winners.select(out_names)
+        lake_tbl = lake_tbl.append_column(LAKE_LSN_COL, winners.column(lsn_col))
+        lake_tbl = lake_tbl.append_column(LAKE_DELETED_COL, is_deleted)
+        # stable layout within the partition file (cheap: already key-sorted)
+        path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
+        pq.write_table(lake_tbl, path, compression="snappy")
+
+        last_lsn = max(ckpt, pc.max(ev.column(lsn_col)).as_py())
+        n_tomb = pc.sum(is_deleted.cast(pa.int64())).as_py() or 0
+        return pd.DataFrame([{
+            "pid": pid, "action": "write", "file": path,
+            "last_lsn": int(last_lsn), "rows": int(lake_tbl.num_rows - n_tomb),
+            "tombstones": int(n_tomb), "events_applied": int(ev.num_rows),
+        }])
+
+    return merge
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class CDCEngine:
+    """A CDC / incremental-ingest lake over conversation-transcript tables.
+
+    Parameters
+    ----------
+    lake_dir : str
+        Lake root (shared storage on a real cluster).
+    num_partitions : int
+        Fixed hash-partition count of the lake (``pid = hash(conv_id) % P``).
+        Persisted in the manifest and validated on reopen.
+    key : list[str]
+        Upsert key; first element is the partitioning column.
+    two_stage : bool
+        Enable the salted skew path: a per-(pid, salt) partial LWW reduce
+        before the final per-pid merge (default off — the per-batch combiner
+        usually suffices; turn on for pathologically hot conversations).
+    salts : int
+        Sub-buckets per partition for the two-stage path.
+    """
+
+    def __init__(self, lake_dir: str, num_partitions: int = 32,
+                 key: list[str] | None = None, lsn_col: str = "lsn",
+                 op_col: str = "op", two_stage: bool = False, salts: int = 8,
+                 combine_batches: bool = True):
+        self.lake_dir = lake_dir
+        self.key = key or ["conv_id", "turn_idx"]
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+        self.two_stage = two_stage
+        self.salts = salts
+        self.combine_batches = combine_batches
+        self.manifest = LakeManifest(lake_dir)
+        meta = self.manifest.load().get("meta", {})
+        if "num_partitions" in meta and int(meta["num_partitions"]) != num_partitions:
+            raise ValueError(
+                f"lake was created with num_partitions={meta['num_partitions']}, "
+                f"got {num_partitions}")
+        self.num_partitions = num_partitions
+
+    # -- replay -------------------------------------------------------------
+
+    def replay(self, changelog: str | list[str],
+               lsn_min: int | None = None, lsn_max: int | None = None,
+               ray_remote_args: dict | None = None) -> dict[str, Any]:
+        """Replay (a slice of) the changelog into the lake as ONE exactly-once
+        transaction. Returns commit metrics. Idempotent: events at or below a
+        partition's checkpoint are skipped, and an interrupted transaction is
+        invisible until its atomic manifest commit.
+        """
+        files = _expand_paths(changelog)
+        in_schema = unify_parquet_schemas(files)
+        payload_schema = pa.schema(
+            [f for f in in_schema if f.name not in (self.lsn_col, self.op_col)])
+
+        ckpts = self.manifest.checkpoints()
+        # global pushdown: only sound if every partition has a checkpoint
+        flt = None
+        if len(ckpts) == self.num_partitions and ckpts:
+            flt = pc.field(self.lsn_col) > min(ckpts.values())
+        if lsn_min is not None:
+            f2 = pc.field(self.lsn_col) > lsn_min
+            flt = f2 if flt is None else (flt & f2)
+        if lsn_max is not None:
+            f2 = pc.field(self.lsn_col) <= lsn_max
+            flt = f2 if flt is None else (flt & f2)
+
+        ds = rd.read_parquet(files, schema=in_schema, filter=flt)
+        ds = ds.map_batches(
+            _make_normalizer(in_schema, self.key, self.lsn_col, self.op_col,
+                             self.num_partitions, self.salts,
+                             self.combine_batches),
+            batch_format="pyarrow", zero_copy_batch=True,
+            **(ray_remote_args or {}))
+
+        if self.two_stage:
+            ds = ds.groupby([PID_COL, SALT_COL]).map_groups(
+                _make_partial_reducer(self.key, self.lsn_col),
+                batch_format="pyarrow")
+
+        version = self.manifest.current_version() + 1
+        txn_dir = self.manifest.txn_data_dir(version)
+        merger = _make_merger(self.key, self.lsn_col, payload_schema,
+                              self.manifest.partition_files(), ckpts,
+                              version, txn_dir)
+        metrics = ds.groupby(PID_COL).map_groups(
+            merger, batch_format="pyarrow").to_pandas()
+
+        written = metrics[metrics["action"] == "write"] if len(metrics) else metrics
+        if len(written) == 0:
+            return {"version": self.manifest.current_version(), "committed": False,
+                    "events_applied": 0, "partitions_written": 0}
+
+        new_parts = {
+            int(r.pid): {"file": r.file, "last_lsn": int(r.last_lsn),
+                         "rows": int(r.rows), "tombstones": int(r.tombstones)}
+            for r in written.itertuples()
+        }
+        totals = {
+            "events_applied": int(written["events_applied"].sum()),
+            "partitions_written": len(new_parts),
+            "rows_live": int(written["rows"].sum()),
+        }
+        self.manifest.commit(version, new_parts,
+                             meta={"num_partitions": self.num_partitions,
+                                   "key": self.key},
+                             metrics=totals)
+        return {"version": version, "committed": True, **totals}
+
+    def replay_in_rounds(self, changelog: str | list[str],
+                         num_rounds: int) -> list[dict[str, Any]]:
+        """Process the changelog in LSN-ordered micro-batches (one exactly-once
+        transaction per round) so per-round merge state is bounded — the scale
+        path for 10^10-event logs (SURVEY.md §7.5.2). Round bounds come from
+        parquet footer statistics (metadata-only)."""
+        files = _expand_paths(changelog)
+        lo, hi = _lsn_bounds(files, self.lsn_col)
+        edges = np.linspace(lo - 1, hi, num_rounds + 1).astype(np.int64)
+        out = []
+        for i in range(num_rounds):
+            out.append(self.replay(files, lsn_min=int(edges[i]),
+                                   lsn_max=int(edges[i + 1])))
+        return out
+
+    # -- read side ----------------------------------------------------------
+
+    def final_dataset(self, columns: list[str] | None = None) -> rd.Dataset:
+        """The committed lake table as a streaming Dataset (tombstones dropped,
+        internal columns hidden)."""
+        pfiles = sorted(self.manifest.partition_files().values())
+        if not pfiles:
+            raise ValueError("lake is empty (no committed transactions)")
+        schema = unify_parquet_schemas(pfiles)
+        ds = rd.read_parquet(pfiles, schema=schema,
+                             filter=~pc.field(LAKE_DELETED_COL))
+        drop = [LAKE_LSN_COL, LAKE_DELETED_COL]
+        user_cols = [n for n in schema.names if n not in drop]
+        ds = ds.select_columns(columns or user_cols)
+        return ds
+
+    def final_table(self, sort: bool = True) -> pa.Table:
+        """Materialized final state, sorted by key — for tests/verification
+        only (stable turn ordering per BASELINE.json); never call on 100 TB."""
+        batches = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                   for b in self.final_dataset().iter_batches(
+                       batch_size=65536, batch_format="pyarrow")]
+        tbl = pa.concat_tables(batches, promote_options="permissive")
+        if sort:
+            tbl = tbl.sort_by([(k, "ascending") for k in self.key])
+        return tbl
+
+
+def _lsn_bounds(files: list[str], lsn_col: str) -> tuple[int, int]:
+    """(min, max) LSN across files from parquet row-group statistics."""
+    lo, hi = None, None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index(lsn_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        raise ValueError(f"no {lsn_col} statistics in parquet footers")
+    return int(lo), int(hi)
+
+
+def replay_changelog(changelog: str | list[str], lake_dir: str,
+                     num_partitions: int = 32, **kw) -> dict[str, Any]:
+    """One-shot convenience: replay the whole changelog into a (new or
+    existing) lake and return commit metrics."""
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions, **kw)
+    return eng.replay(changelog)
