@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay pipeline on sf0.001-scale fixtures;
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL (same column names) for each
+SQL-expressible entry. The driver owns the Ray session — nothing here calls
+``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+CDC / near-dup queries run over OUR deterministic transcript fixtures
+(BASELINE.json ``input_hint`` shape); both the Ray side and the oracle SQL
+read the same /tmp parquet files, materialized idempotently at import (pure
+function of (scale, seed) — byte-identical regardless of which side runs
+first).
 """
 
 from __future__ import annotations
@@ -18,27 +18,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ml_data_pipeline_ray.pipelines import build_oracle_sql, build_queries
+from ml_data_pipeline_ray.pipelines.fixture_paths import fixture_paths
+
+# materialize the fixture sets both sides read (idempotent, seeded)
+for _scale in ("tiny", "small"):
+    fixture_paths(_scale)
+    fixture_paths(_scale, evolve=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC changelog replay into a partitioned lake with
+    exactly-once commit; returns the converged final table as a Dataset."""
+    from ml_data_pipeline_ray.pipelines.cdc_queries import cdc_replay
+    return cdc_replay("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return build_oracle_sql()

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC replay throughput + query suite timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <sf>, "num_cpus": N,
+   "events": E, "events_per_sec": R}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+``--scaling`` runs the headline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox evidence for the
+north rule's two-cluster-size criterion) and prints both throughputs plus
+scaling efficiency = (t_8 / t_32) / (32 / 8).
+
+Mirrors the reference bench harness shape (warmup + timed run + rows/s,
+``ml-data/ml-data-bench/src/lib.rs:74-121``) with the cluster-size axis
+added per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_tag(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+QUERY_SUITE = [
+    "q1_pricing_summary", "q6_revenue", "q3_top_orders", "nation_revenue",
+    "top_orders", "events_hourly", "events_sessions",
+    "docs_quality_by_source", "docs_langid", "dedup_exact_events",
+    "ann_topk", "neardup_embedding",
+]
+
+
+def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ml_data_pipeline_ray.cdc import CDCEngine
+    from ml_data_pipeline_ray.pipelines.fixture_paths import (fixture_paths,
+                                                              scale_for_sf_dir)
+    from ml_data_pipeline_ray.pipelines.registry import build_queries
+
+    scale = scale_for_sf_dir(sf_dir)
+    paths = fixture_paths(scale)          # idempotent; cached on disk
+
+    # warm the page cache (reference-style untimed warmup)
+    rd.read_parquet(paths["changelog"]).count()
+
+    # headline: full CDC replay into a fresh lake
+    lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+    eng = CDCEngine(lake, num_partitions=max(2 * num_cpus, 16))
+    t0 = time.perf_counter()
+    metrics = eng.replay(paths["changelog"])
+    headline = time.perf_counter() - t0
+    events = int(metrics.get("events_applied", 0))
+    shutil.rmtree(lake, ignore_errors=True)
+
+    per_query: dict[str, float] = {}
+    if include_queries:
+        queries = build_queries()
+        for name in QUERY_SUITE:
+            t0 = time.perf_counter()
+            queries[name](sf_dir)
+            per_query[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+        "events": events,
+        "events_per_sec": round(events / headline, 1) if headline > 0 else 0.0,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    def one(n: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   MDPR_BENCH_NO_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_tag(sf_dir),
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"events_per_sec_{lo}": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        "cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        include_queries = os.environ.get("MDPR_BENCH_NO_QUERIES") != "1"
+        print(json.dumps(run_bench(num_cpus, sf_dir, include_queries)))

@@ -98,20 +98,29 @@ def _sentence_pool(seed: int, n: int = 64) -> np.ndarray:
 
 def _gen_text(h: np.ndarray, version: int, pool: np.ndarray) -> np.ndarray:
     """Deterministic text per (key-hash, version): a repeated sentence unit with a
-    hash+version suffix; length is heavy-tailed (median ~200 chars, tail ~8 KiB)."""
+    hash+version suffix; length is heavy-tailed (median ~200 chars, tail ~8 KiB).
+
+    Uses Arrow var-length string kernels (``binary_repeat`` / element-wise
+    join) — numpy's fixed-width unicode arrays would allocate max_len x 4
+    bytes per row and blow up on the 8 KiB tail."""
+    import pyarrow.compute as pc
+
     hv = _mix64(h + np.uint64(version * 0x9E37_79B9 + 0xABCD))
     unit = pool[(hv % np.uint64(len(pool))).astype(np.int64)]
-    # heavy-tailed target length: L = 60 * u^-0.35, u in (0,1)  -> median ~76 chars
+    # heavy-tailed target length, pareto tail capped at 8 KiB
     u = ((hv >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
-    target = np.minimum(60.0 * u ** -0.45, 8192.0)  # pareto tail capped at 8 KiB
+    target = np.minimum(60.0 * u ** -0.45, 8192.0)
     unit_len = np.char.str_len(unit.astype(np.str_)).astype(np.float64)
     reps = np.maximum(1, np.ceil(target / unit_len)).astype(np.int64)
-    body = np.char.multiply(unit.astype(np.str_), reps)
+    body = pc.binary_repeat(pa.array(unit.astype(object), type=pa.string()),
+                            pa.array(reps.astype(np.int32)))
     suffix = np.char.add(
         np.char.add("[", np.char.mod("%016x", hv.astype(np.uint64))),
         f"v{version}]",
     )
-    return np.char.add(body, suffix)
+    out = pc.binary_join_element_wise(
+        body, pa.array(suffix.astype(object), type=pa.string()), "")
+    return out.to_numpy(zero_copy_only=False)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,63 @@
+"""CDC flagship queries for the driver correctness gate.
+
+Each callable replays the deterministic changelog fixture into a fresh
+throwaway lake and returns the final table; the matching oracle SQL
+(:mod:`.oracle_sql`) computes the same final state with one window query
+over the same parquet files in DuckDB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow as pa
+
+from ..cdc import CDCEngine
+from .fixture_paths import fixture_paths, scale_for_sf_dir
+
+NUM_PARTITIONS = 16
+
+
+def _fresh_lake() -> str:
+    return tempfile.mkdtemp(prefix="mdpr_lake_", dir="/tmp")
+
+
+def _final(eng: CDCEngine, columns: list[str]) -> pa.Table:
+    return eng.final_table(sort=True).select(columns)
+
+
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def cdc_replay(sf_dir: str) -> pa.Table:
+    """Full changelog replay (single transaction) → final table."""
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay(paths["changelog"])
+    return _final(eng, FINAL_COLS)
+
+
+def cdc_replay_two_stage(sf_dir: str) -> pa.Table:
+    """Replay via the salted two-stage skew path (same semantics)."""
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS,
+                    two_stage=True, salts=8)
+    eng.replay(paths["changelog"])
+    return _final(eng, FINAL_COLS)
+
+
+def cdc_replay_rounds(sf_dir: str) -> pa.Table:
+    """Replay in 4 LSN-ordered exactly-once transactions (checkpoint path)."""
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay_in_rounds(paths["changelog"], num_rounds=4)
+    return _final(eng, FINAL_COLS)
+
+
+def cdc_replay_evolved(sf_dir: str) -> pa.Table:
+    """Replay the schema-evolving changelog (added ``model`` column,
+    ``turn_idx`` widened int32→int64)."""
+    paths = fixture_paths(scale_for_sf_dir(sf_dir), evolve=True)
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay(paths["changelog"])
+    return _final(eng, FINAL_COLS + ["model"])

@@ -1,0 +1,320 @@
+"""DuckDB oracle SQL for every SQL-expressible query in the registry.
+
+Conventions (so the driver's row-count + schema + value-hash compare passes):
+- column names/aliases match the Ray side exactly;
+- float aggregates are ``round(x, n)`` with the same n on both sides;
+- ratio metrics are computed as integer sums + ONE final division (bit-exact
+  across engines);
+- counts cast to BIGINT (DuckDB's SUM of integers is HUGEINT otherwise).
+
+The driver pre-registers views for the testdata tables (region nation
+customer supplier part orders lineitem events documents embeddings); CDC /
+near-dup oracles read our deterministic fixture parquet from /tmp via
+``read_parquet`` (both sides materialize it idempotently — same seed, same
+bytes).
+"""
+
+from __future__ import annotations
+
+from ..stages.text import CJK_RE, LANG_PROFILES, STOPWORDS_EN, stopword_regex
+from .fixture_paths import changelog_glob, transcripts_glob
+from .text_queries import (COSINE_THRESHOLD, JACCARD_THRESHOLD,
+                           SAMPLE_MAX_MINHASH, SAMPLE_MAX_NGRAM)
+from .tpch import LINEITEM_PRED
+
+#: scale the driver's correctness harness runs at (sf0.01)
+DRIVER_SCALE = "small"
+
+
+# -- CDC --------------------------------------------------------------------
+
+def sql_cdc_replay(scale: str = DRIVER_SCALE) -> str:
+    return f"""
+WITH ev AS (
+  SELECT *, CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END AS op_rank
+  FROM read_parquet('{changelog_glob(scale)}')
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def sql_cdc_replay_evolved(scale: str = DRIVER_SCALE) -> str:
+    return f"""
+WITH ev AS (
+  SELECT *, CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END AS op_rank
+  FROM read_parquet('{changelog_glob(scale, evolve=True)}', union_by_name=true)
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, model
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# -- TPC-H-ish --------------------------------------------------------------
+
+# sums are stabilized onto the data's decimal grid (round(sum*1eD)/1eD) on
+# BOTH sides so partial-sum-order ulp noise cannot straddle a display-rounding
+# boundary; averages divide the stabilized sum by the count (see tpch._stab)
+SQL_Q1 = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity) * 1e2) / 1e2         AS s_qty,
+         round(sum(l_extendedprice) * 1e2) / 1e2    AS s_base,
+         round(sum(l_extendedprice * (1 - l_discount)) * 1e4) / 1e4 AS s_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e6) / 1e6 AS s_charge,
+         round(sum(l_discount) * 1e2) / 1e2         AS s_disc,
+         CAST(count(*) AS BIGINT)                   AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+  GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus,
+       round(s_qty, 2) AS sum_qty, round(s_base, 2) AS sum_base_price,
+       round(s_disc_price, 2) AS sum_disc_price, round(s_charge, 2) AS sum_charge,
+       round(s_qty / count_order, 4) AS avg_qty,
+       round(s_base / count_order, 4) AS avg_price,
+       round(s_disc / count_order, 4) AS avg_disc,
+       count_order
+FROM a
+"""
+
+SQL_Q6 = """
+SELECT round(round(sum(l_extendedprice * l_discount) * 1e4) / 1e4, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+SQL_Q3 = """
+WITH a AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4) / 1e4 AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    AND l.l_shipdate  > TIMESTAMP '1999-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+SELECT l_orderkey, o_orderdate, o_orderpriority, round(rev, 2) AS revenue
+FROM a
+ORDER BY rev DESC, l_orderkey
+LIMIT 10
+"""
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       round(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4) / 1e4, 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+SQL_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round((round(sum(o_totalprice) * 1e2) / 1e2) / count(*), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+SQL_CUSTOMER_SEGMENTS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       round((round(sum(c_acctbal) * 1e2) / 1e2) / count(*), 4) AS avg_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round((round(sum(p_retailprice) * 1e2) / 1e2) / count(*), 4) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+SQL_SUPPLIER_BALANCE_BY_NATION = """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(round(sum(s.s_acctbal) * 1e2) / 1e2, 2) AS total_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def sql_lineitem_filter_predicates() -> str:
+    # WHERE clause rendered from the SAME predicate AST the Ray query pushes
+    # into read_parquet (stages/predicates.py)
+    return f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       round(round(sum(l_quantity) * 1e2) / 1e2, 2) AS sum_qty
+FROM lineitem
+WHERE {LINEITEM_PRED.to_sql()}
+GROUP BY l_returnflag
+"""
+
+
+# -- events -----------------------------------------------------------------
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                          AND ts - prev_ts > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)
+GROUP BY user_id
+"""
+
+SQL_EVENTS_USER_STATS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+SQL_DEDUP_EXACT_EVENTS = """
+SELECT event_id, event_type, props FROM (
+  SELECT event_id, event_type, props,
+         row_number() OVER (PARTITION BY event_type, props
+                            ORDER BY event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+# -- documents text analysis ------------------------------------------------
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
+"""
+
+
+def sql_docs_quality_by_source() -> str:
+    stop_re = stopword_regex(STOPWORDS_EN)
+    return f"""
+WITH m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt,
+         length(text) AS nc,
+         len(regexp_extract_all(text, '{stop_re}')) AS ns,
+         len(regexp_extract_all(text, '[0-9]')) AS nd
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(sum(ns)::DOUBLE / greatest(sum(nt), 1), 6) AS stop_ratio,
+       round(sum(nd)::DOUBLE / greatest(sum(nc), 1), 6) AS digit_ratio
+FROM m GROUP BY source
+"""
+
+
+def sql_docs_langid() -> str:
+    c = {lang: f"len(regexp_extract_all(text, '{stopword_regex(words)}'))"
+         for lang, words in LANG_PROFILES.items()}
+    c["zh"] = f"len(regexp_extract_all(text, '{CJK_RE}'))"
+    return f"""
+WITH counts AS (
+  SELECT {c['en']} AS c_en, {c['es']} AS c_es, {c['de']} AS c_de,
+         {c['fr']} AS c_fr, {c['zh']} AS c_zh
+  FROM documents),
+pred AS (
+  SELECT CASE
+    WHEN greatest(c_en, c_es, c_de, c_fr, c_zh) = 0 THEN 'und'
+    WHEN c_en >= greatest(c_es, c_de, c_fr, c_zh) THEN 'en'
+    WHEN c_es >= greatest(c_de, c_fr, c_zh) THEN 'es'
+    WHEN c_de >= greatest(c_fr, c_zh) THEN 'de'
+    WHEN c_fr >= c_zh THEN 'fr'
+    ELSE 'zh' END AS lang_pred
+  FROM counts)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred
+"""
+
+
+# -- near-dup / similarity --------------------------------------------------
+
+def _sql_shingle_pairs(scale: str, bound: str, threshold: float) -> str:
+    """Exact word-3-gram Jaccard >= threshold over a transcript sample —
+    mirrors stages/dedup.py tokenization (lower, [a-z0-9]+ runs) and the
+    short-row rule (<=3 tokens -> one shingle)."""
+    return f"""
+WITH d AS (
+  SELECT conv_id || ':' || turn_idx AS rid,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM read_parquet('{transcripts_glob(scale)}')
+  WHERE conv_id <= '{bound}'
+), s AS (
+  SELECT rid,
+         list_distinct(CASE WHEN len(toks) <= 3
+           THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           END) AS sh
+  FROM d)
+SELECT a.rid AS id_a, b.rid AS id_b
+FROM s a JOIN s b ON a.rid < b.rid
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {threshold}
+"""
+
+
+def sql_neardup_minhash(scale: str = DRIVER_SCALE) -> str:
+    return _sql_shingle_pairs(scale, SAMPLE_MAX_MINHASH, JACCARD_THRESHOLD)
+
+
+def sql_neardup_ngram(scale: str = DRIVER_SCALE) -> str:
+    return _sql_shingle_pairs(scale, SAMPLE_MAX_NGRAM, JACCARD_THRESHOLD)
+
+
+SQL_NEARDUP_EMBEDDING = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_THRESHOLD}
+"""
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10)
+SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid)
+WHERE rn <= 10
+"""

@@ -1,0 +1,95 @@
+"""Query + oracle registry consumed by ``__ray_entry__.py``.
+
+Every implemented operator/pipeline from SURVEY.md §2 gets a ``queries()``
+entry; every SQL-expressible one gets a matching ``oracle_sql()`` entry with
+identical column names. Entries without an oracle (approximate / hash-output
+operators) get the driver's weaker rows-only check by design:
+``docs_fingerprint`` (64-bit rolling hashes), ``neardup_simhash`` (projection
+has no SQL form), ``ann_ivf`` (approximate; recall vs brute force asserted in
+tests instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from . import cdc_queries as C
+from . import text_queries as X
+from . import tpch as Q
+from . import oracle_sql as S
+
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # CDC flagship (SURVEY.md §7; north rule)
+        "cdc_replay": C.cdc_replay,
+        "cdc_replay_two_stage": C.cdc_replay_two_stage,
+        "cdc_replay_rounds": C.cdc_replay_rounds,
+        "cdc_replay_evolved": C.cdc_replay_evolved,
+        # relational / TPC-H-ish (T1-T7, P1-P2, O1-O3, U1, joins)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q6_revenue": Q.q6_revenue,
+        "q3_top_orders": Q.q3_top_orders,
+        "nation_revenue": Q.nation_revenue,
+        "top_orders": Q.top_orders,
+        "orders_per_priority": Q.orders_per_priority,
+        "customer_segments": Q.customer_segments,
+        "parts_by_brand": Q.parts_by_brand,
+        "supplier_balance_by_nation": Q.supplier_balance_by_nation,
+        "lineitem_filter_predicates": Q.lineitem_filter_predicates,
+        # events / streaming-shaped
+        "events_hourly": Q.events_hourly,
+        "events_sessions": Q.events_sessions,
+        "events_user_stats": Q.events_user_stats,
+        "distinct_event_types": Q.distinct_event_types,
+        # text analysis
+        "docs_token_stats": X.docs_token_stats,
+        "docs_quality_by_source": X.docs_quality_by_source,
+        "docs_langid": X.docs_langid,
+        "docs_fingerprint": X.docs_fingerprint,
+        # dedup
+        "dedup_exact_events": X.dedup_exact_events,
+        "dedup_exact_docs": X.dedup_exact_docs,
+        "neardup_minhash": X.neardup_minhash,
+        "neardup_ngram": X.neardup_ngram,
+        "neardup_simhash": X.neardup_simhash,
+        # similarity search
+        "neardup_embedding": X.neardup_embedding,
+        "ann_topk": X.ann_topk,
+        "ann_ivf": X.ann_ivf,
+    }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        "cdc_replay": S.sql_cdc_replay(),
+        "cdc_replay_two_stage": S.sql_cdc_replay(),
+        "cdc_replay_rounds": S.sql_cdc_replay(),
+        "cdc_replay_evolved": S.sql_cdc_replay_evolved(),
+        "q1_pricing_summary": S.SQL_Q1,
+        "q6_revenue": S.SQL_Q6,
+        "q3_top_orders": S.SQL_Q3,
+        "nation_revenue": S.SQL_NATION_REVENUE,
+        "top_orders": S.SQL_TOP_ORDERS,
+        "orders_per_priority": S.SQL_ORDERS_PER_PRIORITY,
+        "customer_segments": S.SQL_CUSTOMER_SEGMENTS,
+        "parts_by_brand": S.SQL_PARTS_BY_BRAND,
+        "supplier_balance_by_nation": S.SQL_SUPPLIER_BALANCE_BY_NATION,
+        "lineitem_filter_predicates": S.sql_lineitem_filter_predicates(),
+        "events_hourly": S.SQL_EVENTS_HOURLY,
+        "events_sessions": S.SQL_EVENTS_SESSIONS,
+        "events_user_stats": S.SQL_EVENTS_USER_STATS,
+        "distinct_event_types": S.SQL_DISTINCT_EVENT_TYPES,
+        "docs_token_stats": S.SQL_DOCS_TOKEN_STATS,
+        "docs_quality_by_source": S.sql_docs_quality_by_source(),
+        "docs_langid": S.sql_docs_langid(),
+        "dedup_exact_events": S.SQL_DEDUP_EXACT_EVENTS,
+        "dedup_exact_docs": S.SQL_DEDUP_EXACT_DOCS,
+        "neardup_minhash": S.sql_neardup_minhash(),
+        "neardup_ngram": S.sql_neardup_ngram(),
+        "neardup_embedding": S.SQL_NEARDUP_EMBEDDING,
+        "ann_topk": S.SQL_ANN_TOPK,
+        # rows-only (documented in build_queries docstring):
+        # docs_fingerprint, neardup_simhash, ann_ivf
+    }

@@ -1,0 +1,212 @@
+"""Text-analysis / dedup / similarity queries for the correctness gate."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..stages import text as T
+from ..stages.ann import brute_force_topk, cosine_pairs, ivf_topk
+from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
+                            shingle_hashes, simhash_bits, tokenize_offsets)
+from .fixture_paths import fixture_paths, scale_for_sf_dir, transcripts_glob
+from .tpch import _round, _t
+
+#: sample bounds for the O(n^2)-verifiable near-dup queries
+SAMPLE_MAX_MINHASH = "conv-00000019"
+SAMPLE_MAX_NGRAM = "conv-00000009"
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+
+# -- documents: token stats / quality / language id -------------------------
+
+def docs_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(T.add_token_stats, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_text"]).to_pandas()
+
+
+def docs_quality_by_source(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    def metrics(b: pa.Table) -> pa.Table:
+        b = T.add_quality_metrics(b)
+        return b.append_column(
+            "n_digits",
+            pc.count_substring_regex(b["text"], T.DIGIT_RE).cast(pa.int64()))
+
+    m = (ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby("source")
+         .aggregate(Count(alias_name="n_docs"),
+                    Sum("n_tokens", alias_name="total_tokens"),
+                    Sum("n_stopwords", alias_name="sum_stop"),
+                    Sum("n_chars_text", alias_name="sum_chars"),
+                    Sum("n_digits", alias_name="sum_digits"))).to_pandas()
+    # integer sums + one final division == exact float agreement with SQL
+    m["stop_ratio"] = (m["sum_stop"] / m["total_tokens"].clip(lower=1)).round(6)
+    m["digit_ratio"] = (m["sum_digits"] / m["sum_chars"].clip(lower=1)).round(6)
+    return m[["source", "n_docs", "total_tokens", "stop_ratio", "digit_ratio"]]
+
+
+def docs_langid(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    out = (ds.map_batches(T.add_lang_pred, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang_pred").aggregate(Count(alias_name="n"))).to_pandas()
+    return out
+
+
+def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash fingerprints (rows-only check: no SQL equivalent)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(T.Fingerprinter(), batch_format="pyarrow",
+                         concurrency=2).to_pandas()
+    out["fp_content"] = out["fp_content"].apply(lambda v: f"{v:016x}")
+    out["fp_min"] = out["fp_min"].apply(lambda v: f"{v:016x}")
+    return out[["doc_id", "fp_content", "fp_min"]]
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def dedup_exact_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "props"])
+    out = exact_dedup(ds, cols=["event_type", "props"], order_col="event_id")
+    return out.to_pandas()[["event_id", "event_type", "props"]]
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "n_chars"])
+    out = exact_dedup(ds, cols=["text"], order_col="doc_id")
+    return out.to_pandas()[["doc_id", "n_chars"]]
+
+
+# -- near-dup over the transcript fixture (updates => true near-dups) -------
+
+def _rid_batch(b: pa.Table) -> pa.Table:
+    rid = pc.binary_join_element_wise(
+        b["conv_id"], pc.cast(b["turn_idx"], pa.string()), ":")
+    return b.append_column("rid", rid)
+
+
+def _sample_ds(sf_dir: str, bound: str) -> rd.Dataset:
+    scale = scale_for_sf_dir(sf_dir)
+    fixture_paths(scale)
+    files = sorted(glob.glob(transcripts_glob(scale)))
+    ds = rd.read_parquet(files, filter=pc.field("conv_id") <= bound,
+                         columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(_rid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _shingle_sets(sf_dir: str, bound: str) -> dict[str, frozenset]:
+    scale = scale_for_sf_dir(sf_dir)
+    tbl = pq.ParquetDataset(sorted(glob.glob(transcripts_glob(scale))),
+                            filters=pc.field("conv_id") <= bound).read(
+        columns=["conv_id", "turn_idx", "text"])
+    rid = pc.binary_join_element_wise(
+        tbl["conv_id"].combine_chunks(),
+        pc.cast(tbl["turn_idx"], pa.string()).combine_chunks(), ":")
+    th, counts = tokenize_offsets(tbl["text"])
+    sh, win = shingle_hashes(th, counts, k=3)
+    bounds = np.concatenate(([0], np.cumsum(win)))
+    rids = rid.to_pylist()
+    return {rids[i]: frozenset(sh[bounds[i]:bounds[i + 1]].tolist())
+            for i in range(len(rids))}
+
+
+def _verify_pairs(sets: dict[str, frozenset],
+                  pairs: list[tuple[str, str]]) -> pd.DataFrame:
+    out = []
+    for a, b in pairs:
+        sa, sb = sets[a], sets[b]
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= JACCARD_THRESHOLD:
+            out.append((a, b))
+    df = pd.DataFrame(out, columns=["id_a", "id_b"])
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def neardup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH candidates → exact-Jaccard verification (tau=0.8).
+    With 128 hashes / 32 bands the miss probability at tau is ~5e-8, so the
+    output equals the exact all-pairs oracle on this data."""
+    ds = _sample_ds(sf_dir, SAMPLE_MAX_MINHASH)
+    cand = minhash_candidate_pairs(ds, id_col="rid")
+    sets = _shingle_sets(sf_dir, SAMPLE_MAX_MINHASH)
+    return _verify_pairs(sets, list(map(tuple, cand[["id_a", "id_b"]].to_numpy())))
+
+
+def neardup_ngram(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs word-3-gram Jaccard on a small sample (the
+    verification kernel, run exhaustively)."""
+    sets = _shingle_sets(sf_dir, SAMPLE_MAX_NGRAM)
+    rids = sorted(sets)
+    pairs = [(rids[i], rids[j]) for i in range(len(rids))
+             for j in range(i + 1, len(rids))]
+    return _verify_pairs(sets, pairs)
+
+
+def neardup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming-distance near-dup (rows-only check — the 64-bit
+    projection has no SQL equivalent)."""
+    scale = scale_for_sf_dir(sf_dir)
+    fixture_paths(scale)
+    tbl = pq.ParquetDataset(sorted(glob.glob(transcripts_glob(scale))),
+                            filters=pc.field("conv_id") <= SAMPLE_MAX_NGRAM
+                            ).read(columns=["conv_id", "turn_idx", "text"])
+    rid = pc.binary_join_element_wise(
+        tbl["conv_id"].combine_chunks(),
+        pc.cast(tbl["turn_idx"], pa.string()).combine_chunks(), ":").to_pylist()
+    sig = simhash_bits(tbl["text"])
+    n = len(rid)
+    a_idx, b_idx = np.triu_indices(n, k=1)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    x = sig[a_idx] ^ sig[b_idx]
+    hd = lut[x.view(np.uint8).reshape(-1, 8)].sum(1)
+    keep = hd <= 8
+    df = pd.DataFrame({"id_a": np.array(rid, dtype=object)[a_idx[keep]],
+                       "id_b": np.array(rid, dtype=object)[b_idx[keep]],
+                       "hamming": hd[keep].astype(np.int64)})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# -- embeddings -------------------------------------------------------------
+
+def neardup_embedding(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    pairs = cosine_pairs(ds, threshold=COSINE_THRESHOLD)
+    return pairs[["id_a", "id_b"]].reset_index(drop=True)
+
+
+def _queries(sf_dir: str, n: int = 10):
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = tbl.slice(0, n)
+    ids = np.array(head["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.vstack(head["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return ids, m
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    ids, m = _queries(sf_dir)
+    return brute_force_topk(ds, ids, m, k=10)
+
+
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN (approximate — rows-only check; recall vs brute
+    force is asserted in tests)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    ids, m = _queries(sf_dir)
+    return ivf_topk(ds, ids, m, k=10, n_centroids=16, nprobe=6)

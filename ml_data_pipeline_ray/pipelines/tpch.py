@@ -1,0 +1,319 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a small pandas/Arrow result whose
+column names match the oracle SQL in :mod:`.oracle_sql` exactly. Float
+aggregates are rounded (2-4 dp) on BOTH sides so partial-sum ordering
+differences between Ray and DuckDB cannot flip the value hash.
+
+Scale discipline: reads prune columns; filters are Arrow dataset expressions
+pushed to parquet row groups; dimension tables broadcast (``ray.put`` once);
+the one large-large join (orders x lineitem) uses the bucketed hash join;
+aggregates are map-side-combined by Ray's aggregate operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.joins import broadcast_join, broadcast_semi_join, hash_join
+from ..stages.predicates import And, Compare
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _haround(x, nd: int):
+    """Round-half-away-from-zero (DuckDB's rule; numpy's .round is half-even).
+    After decimal-grid stabilization both engines see bit-identical doubles,
+    so using the same rounding rule makes display rounding bit-identical too."""
+    s = 10.0 ** nd
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for col, nd in spec.items():
+        df[col] = _haround(df[col].astype(float), nd)
+    return df
+
+
+def _stab(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    """Snap float sums onto the data's decimal grid: the source columns are
+    d-decimal values, so the TRUE sum is an exact decimal; integer-rounding
+    the scaled sum removes partial-sum-order ulp noise and makes the double
+    bit-identical to DuckDB's (which applies the same stabilization in the
+    oracle SQL). Without this, display-rounding can straddle a boundary
+    (e.g. 4190.83824999 vs 4190.83825001 -> different 4-dp roundings)."""
+    for col, dp in spec.items():
+        s = 10.0 ** dp
+        df[col] = np.round(df[col].astype(float) * s) / s
+    return df
+
+
+# -- q1: pricing summary ----------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols,
+                         filter=(pc.field("l_shipdate")
+                                 <= pa.scalar(pd.Timestamp("2000-01-01"))))
+
+    def derive(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), b["l_tax"]))
+        return (b.append_column("disc_price", disc_price)
+                 .append_column("charge", charge))
+
+    out = (ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("charge", alias_name="sum_charge"),
+                      Sum("l_discount", alias_name="_sum_disc"),
+                      Count(alias_name="count_order"))).to_pandas()
+    # stabilize sums on the decimal grid (2dp raw, 4dp product, 6dp 2-product)
+    out = _stab(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
+                      "sum_charge": 6, "_sum_disc": 2})
+    n = out["count_order"]
+    out["avg_qty"] = _haround(out["sum_qty"] / n, 4)
+    out["avg_price"] = _haround(out["sum_base_price"] / n, 4)
+    out["avg_disc"] = _haround(out["_sum_disc"] / n, 4)
+    out = _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                       "sum_charge": 2})
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+                "avg_disc", "count_order"]]
+
+
+# -- q6: forecast revenue ---------------------------------------------------
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    f = ((pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+         & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+         & (pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
+         & (pc.field("l_quantity") < 24))
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_extendedprice", "l_discount",
+                                  "l_quantity", "l_shipdate"], filter=f)
+    out = ds.map_batches(
+        lambda b: pa.table({"rev": pc.multiply(b["l_extendedprice"], b["l_discount"])}),
+        batch_format="pyarrow").aggregate(Sum("rev", alias_name="revenue"))
+    df = pd.DataFrame([{"revenue": float(out["revenue"])}])
+    return _round(_stab(df, {"revenue": 4}), {"revenue": 2})
+
+
+# -- q3: shipping priority (broadcast dims + top-k) -------------------------
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+               ["c_custkey"].to_pylist())
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
+    orders = broadcast_semi_join(orders, keys, on=["o_custkey"])
+    o_small = pa.Table.from_pandas(orders.to_pandas(), preserve_index=False)
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1999-01-01")))
+    li = broadcast_join(
+        li, o_small.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        on=["l_orderkey"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+    agg = (li.map_batches(rev, batch_format="pandas")
+           .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    # stabilize BEFORE top-k so the rank-10 cut is on exact decimals, with a
+    # deterministic orderkey tiebreak matching the oracle's ORDER BY
+    agg = agg.map_batches(lambda d: _stab(d, {"revenue": 4}),
+                          batch_format="pandas")
+    top = (agg.sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return _round(top, {"revenue": 2})
+
+
+# -- q5-ish: revenue by customer nation in ASIA -----------------------------
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    region = pq.read_table(_t(sf_dir, "region"))
+    nation = pq.read_table(_t(sf_dir, "nation"))
+    customer = pq.read_table(_t(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"])
+    asia = set(region.filter(pc.equal(region["r_name"], "ASIA"))
+               ["r_regionkey"].to_pylist())
+    nat = nation.filter(pc.is_in(nation["n_regionkey"],
+                                 value_set=pa.array(sorted(asia), pa.int32())))
+    cust = customer.to_pandas().merge(
+        nat.select(["n_nationkey", "n_name"]).to_pandas(),
+        left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
+                            on=["o_custkey"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(lambda t: t.rename_columns(
+        ["o_orderkey", "l_extendedprice", "l_discount"]), batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], num_buckets=16)
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["n_name", "revenue"]]
+
+    out = (joined.map_batches(rev, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+           ).to_pandas()
+    return _round(_stab(out, {"revenue": 4}), {"revenue": 2})
+
+
+# -- simple aggregates / sorts ----------------------------------------------
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    out = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return _round(out, {"o_totalprice": 2})
+
+
+def orders_per_priority(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = (ds.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="_sum"))).to_pandas()
+    out = _stab(out, {"_sum": 2})
+    out["avg_price"] = _haround(out["_sum"] / out["n_orders"], 4)
+    return out[["o_orderpriority", "n_orders", "avg_price"]]
+
+
+def customer_segments(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_mktsegment", "c_acctbal"])
+    out = (ds.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="_sum"),
+                      Min("c_acctbal", alias_name="min_bal"),
+                      Max("c_acctbal", alias_name="max_bal"))).to_pandas()
+    out = _stab(out, {"_sum": 2})
+    out["avg_bal"] = _haround(out["_sum"] / out["n_customers"], 4)
+    out = _round(out, {"min_bal": 2, "max_bal": 2})
+    return out[["c_mktsegment", "n_customers", "avg_bal", "min_bal", "max_bal"]]
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_brand", "p_retailprice"])
+    out = (ds.groupby("p_brand")
+           .aggregate(Count(alias_name="n_parts"),
+                      Sum("p_retailprice", alias_name="_sum"))).to_pandas()
+    out = _stab(out, {"_sum": 2})
+    out["avg_price"] = _haround(out["_sum"] / out["n_parts"], 4)
+    return out[["p_brand", "n_parts", "avg_price"]]
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_nationkey", "s_acctbal"])
+    ds = broadcast_join(ds, nation.rename_columns(["s_nationkey", "n_name"]),
+                        on=["s_nationkey"])
+    out = (ds.groupby("n_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="total_bal"))).to_pandas()
+    return _round(_stab(out, {"total_bal": 2}), {"total_bal": 2})
+
+
+# -- predicate-AST filter query (shared definition with the oracle) ---------
+
+LINEITEM_PRED = And([
+    Compare("l_returnflag", "in", ["A", "N"]),
+    Compare("l_quantity", "ge", 10.0),
+    Compare("l_quantity", "le", 40.0),
+    Compare("l_shipdate", "ge", pd.Timestamp("1996-01-01")),
+])
+
+
+def lineitem_filter_predicates(sf_dir: str) -> pd.DataFrame:
+    """Composed predicate AST pushed into the parquet read; the oracle WHERE
+    clause is rendered from the SAME AST via ``to_sql()``."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity", "l_shipdate",
+                                  "l_extendedprice"],
+                         filter=LINEITEM_PRED.to_expression())
+    out = (ds.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n_rows"),
+                      Sum("l_quantity", alias_name="sum_qty"))).to_pandas()
+    return _round(_stab(out, {"sum_qty": 2}), {"sum_qty": 2})
+
+
+# -- events -----------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
+
+    out = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: per user, count sessions split at >30 min gaps.
+    Implemented as groupby(user).map_groups over ts-sorted groups (the
+    streaming-window pattern for an engine without event-time windows)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame([{"user_id": g["user_id"].iloc[0],
+                              "n_events": len(g),
+                              "n_sessions": int(1 + gaps.sum())}])
+
+    return (ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+            ).to_pandas()
+
+
+def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "value"],
+                         filter=pc.field("event_type") == "purchase")
+    out = (ds.groupby("user_id")
+           .aggregate(Count(alias_name="n_purchases"),
+                      Sum("value", alias_name="total_value"))).to_pandas()
+    return _round(_stab(out, {"total_value": 2}), {"total_value": 2})
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})

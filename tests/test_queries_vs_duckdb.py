@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every ``queries()``
+entry at sf0.001 and compare row count + sorted values against its
+``oracle_sql()`` in DuckDB (views registered like the driver does)."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as e
+    # local harness runs at sf0.001 -> rewrite oracle fixture paths to tiny
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _oracle_for_tiny(e, name: str) -> str:
+    sql = e.oracle_sql()[name]
+    return sql.replace("/tmp/mdpr_fixtures/small", "/tmp/mdpr_fixtures/tiny")
+
+
+QUERY_NAMES = [
+    "cdc_replay", "cdc_replay_two_stage", "cdc_replay_rounds",
+    "cdc_replay_evolved",
+    "q1_pricing_summary", "q6_revenue", "q3_top_orders", "nation_revenue",
+    "top_orders", "orders_per_priority", "customer_segments", "parts_by_brand",
+    "supplier_balance_by_nation", "lineitem_filter_predicates",
+    "events_hourly", "events_sessions", "events_user_stats",
+    "distinct_event_types",
+    "docs_token_stats", "docs_quality_by_source", "docs_langid",
+    "dedup_exact_events", "dedup_exact_docs",
+    "neardup_minhash", "neardup_ngram", "neardup_embedding", "ann_topk",
+]
+
+ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(entry_mod, con, name):
+    got = _canon(_to_df(entry_mod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(_oracle_for_tiny(entry_mod, name)).df())
+    assert list(got.columns) == list(want.columns), \
+        f"columns differ: {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entry_mod, name):
+    df = _to_df(entry_mod.queries()[name](SF_DIR))
+    assert len(df) >= 0 and len(df.columns) >= 2
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    df = _to_df(res)
+    assert len(df) > 1000
+    assert set(["conv_id", "turn_idx", "role", "text", "tool", "ts"]) \
+        <= set(df.columns)
+
+
+def test_every_query_has_oracle_or_documented_exception(entry_mod):
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q
+    assert q - o == set(ROWS_ONLY)
