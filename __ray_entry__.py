@@ -18,8 +18,12 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ml_data_pipeline_ray.context import tune_data_context
 from ml_data_pipeline_ray.pipelines import build_oracle_sql, build_queries
 from ml_data_pipeline_ray.pipelines.fixture_paths import fixture_paths
+
+# the driver owns the Ray session; tune block sizing for it (no ray.init here)
+tune_data_context()
 
 # materialize the fixture sets both sides read (idempotent, seeded)
 for _scale in ("tiny", "small"):

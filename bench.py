@@ -51,27 +51,34 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    ctx = rd.DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from ml_data_pipeline_ray.context import tune_data_context
+    tune_data_context(num_cpus)
 
     from ml_data_pipeline_ray.cdc import CDCEngine
     from ml_data_pipeline_ray.pipelines.fixture_paths import (fixture_paths,
                                                               scale_for_sf_dir)
     from ml_data_pipeline_ray.pipelines.registry import build_queries
 
-    scale = scale_for_sf_dir(sf_dir)
+    scale = os.environ.get("MDPR_BENCH_SCALE") or scale_for_sf_dir(sf_dir)
     paths = fixture_paths(scale)          # idempotent; cached on disk
 
-    # warm the page cache (reference-style untimed warmup)
-    rd.read_parquet(paths["changelog"]).count()
+    # for scaling runs the physical layout (partitions, block floor) must be
+    # IDENTICAL across cluster sizes — only executor slots may differ
+    fixed_layout = os.environ.get("MDPR_FIXED_LAYOUT")
+    num_partitions = int(fixed_layout) if fixed_layout else max(2 * num_cpus, 16)
+    if fixed_layout:
+        from ray.data.context import DataContext
+        DataContext.get_current().read_op_min_num_blocks = int(fixed_layout)
+
+    # warm the page cache (reference-style untimed warmup) + raw event count
+    events = rd.read_parquet(paths["changelog"]).count()
 
     # headline: full CDC replay into a fresh lake
     lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
-    eng = CDCEngine(lake, num_partitions=max(2 * num_cpus, 16))
+    eng = CDCEngine(lake, num_partitions=num_partitions)
     t0 = time.perf_counter()
-    metrics = eng.replay(paths["changelog"])
+    eng.replay(paths["changelog"])
     headline = time.perf_counter() - t0
-    events = int(metrics.get("events_applied", 0))
     shutil.rmtree(lake, ignore_errors=True)
 
     per_query: dict[str, float] = {}
@@ -96,14 +103,25 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same headline job at two parallelism levels in fresh processes."""
+    """Same headline job at two parallelism levels in fresh processes.
+
+    Uses the larger "xbench" changelog (~4.7M events, ~1 GB) so per-CPU work
+    dwarfs fixed scheduling overhead, pins the physical layout (64 lake
+    partitions, 64-block read floor) so both cluster sizes run the identical
+    plan, and takes the best of 2 runs per level to damp variance."""
     def one(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   MDPR_BENCH_NO_QUERIES="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+                   MDPR_BENCH_NO_QUERIES="1", MDPR_BENCH_SCALE="xbench",
+                   MDPR_FIXED_LAYOUT="64")
+        best = None
+        for _ in range(2):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     r_lo, r_hi = one(lo), one(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

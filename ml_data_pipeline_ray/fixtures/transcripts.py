@@ -35,7 +35,8 @@ import pyarrow.parquet as pq
 SCALES: dict[str, int] = {
     "tiny": 2_000,       # unit tests
     "small": 60_000,     # pytest e2e + duckdb-oracle correctness (sf0.01 analog)
-    "bench": 600_000,    # throughput / scaling runs (sf0.1 analog)
+    "bench": 600_000,    # throughput runs (sf0.1 analog)
+    "xbench": 2_400_000,  # scaling-efficiency runs (~4.7M events, ~1 GB)
 }
 
 BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -241,7 +242,10 @@ def gen_changelog(scale: str | int = "tiny", seed: int = 42,
     upd_keys = rng.choice(n, size=n_upd_keys, replace=False, p=w)
     upd_counts = rng.integers(1, 6, size=n_upd_keys)
     upd_rows = np.repeat(upd_keys, upd_counts)
-    upd_ver = np.concatenate([np.arange(1, c + 1) for c in upd_counts]).astype(np.int32)
+    # per-key 1..c sequences, vectorized (no Python loop over keys)
+    starts = np.concatenate(([0], np.cumsum(upd_counts)[:-1]))
+    upd_ver = (np.arange(upd_rows.size) - np.repeat(starts, upd_counts) + 1
+               ).astype(np.int32)
     ev_conv.append(sh.conv_idx[upd_rows])
     ev_turn.append(sh.turn_idx[upd_rows])
     ev_op.append(np.ones(upd_rows.size, dtype=np.int8))

@@ -42,9 +42,11 @@ def _canon(df):
 def main():
     import ray
     import ray.data as rd
-    ray.init(address="local", num_cpus=int(__import__("os").environ.get("RAY_GRAFT_CPUS", 16)),
-             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
-    rd.DataContext.get_current().enable_progress_bars = False
+    ncpu = int(__import__("os").environ.get("RAY_GRAFT_CPUS", 16))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ml_data_pipeline_ray.context import tune_data_context
+    tune_data_context(ncpu)
 
     import __ray_entry__ as e
     q = e.queries()

@@ -14,8 +14,8 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from ml_data_pipeline_ray.context import tune_data_context
+    tune_data_context(4)
     yield
     ray.shutdown()
 
