@@ -163,61 +163,142 @@ def _make_partial_reducer(key: list[str], lsn_col: str):
     return reduce_group
 
 
+def _merge_partition_core(ev: pa.Table, pid: int, ckpt: int,
+                          cur_path: str | None, key: list[str], lsn_col: str,
+                          payload_names: list[str], txn_dir: str) -> dict:
+    """The per-partition LWW merge: drop already-applied events, fold into the
+    current lake partition state, write the staged partition file, return one
+    metrics dict. Shared by the Ray Data groupby path and the direct-exchange
+    path — the semantics live in exactly one place."""
+    ev = ev.filter(pc.greater(ev.column(lsn_col), pa.scalar(ckpt)))
+    if ev.num_rows == 0:
+        return {"pid": pid, "action": "skip", "file": "", "last_lsn": ckpt,
+                "rows": 0, "tombstones": 0, "events_applied": 0}
+    ev = ev.select(payload_names + [lsn_col, RANK_COL])
+
+    if cur_path and os.path.exists(cur_path):
+        cur = pq.read_table(cur_path)
+        deleted = cur.column(LAKE_DELETED_COL)
+        cur_rank = pc.if_else(deleted, pa.scalar(2, pa.int8()),
+                              pa.scalar(1, pa.int8()))
+        cur = cur.drop_columns([LAKE_DELETED_COL])
+        cur = cur.rename_columns(
+            [lsn_col if c == LAKE_LSN_COL else c for c in cur.column_names])
+        cur = cur.append_column(RANK_COL, cur_rank)
+        combined = pa.concat_tables([cur, ev], promote_options="permissive")
+    else:
+        combined = ev
+
+    winners = lww_winners(combined, key, lsn_col)
+    is_deleted = pc.equal(winners.column(RANK_COL), pa.scalar(2, pa.int8()))
+    out_names = [c for c in winners.column_names if c not in (lsn_col, RANK_COL)]
+    lake_tbl = winners.select(out_names)
+    lake_tbl = lake_tbl.append_column(LAKE_LSN_COL, winners.column(lsn_col))
+    lake_tbl = lake_tbl.append_column(LAKE_DELETED_COL, is_deleted)
+    # stable layout within the partition file (cheap: already key-sorted)
+    path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
+    pq.write_table(lake_tbl, path, compression="snappy")
+
+    last_lsn = max(ckpt, pc.max(ev.column(lsn_col)).as_py())
+    n_tomb = pc.sum(is_deleted.cast(pa.int64())).as_py() or 0
+    return {"pid": pid, "action": "write", "file": path,
+            "last_lsn": int(last_lsn), "rows": int(lake_tbl.num_rows - n_tomb),
+            "tombstones": int(n_tomb), "events_applied": int(ev.num_rows)}
+
+
 def _make_merger(key: list[str], lsn_col: str, payload_schema: pa.Schema,
                  cur_files: dict[int, str], checkpoints: dict[int, int],
                  version: int, txn_dir: str):
-    """Final per-partition merge: fold the partition's new winners into the
-    current lake partition state and write the staged partition file.
-
-    Runs once per pid inside ``groupby(pid).map_groups``; reads/writes go to
-    the lake directory (shared storage on a real cluster). Returns a single
-    metrics row — the driver only ever collects P tiny rows.
-    """
+    """Final per-partition merge for the Ray Data groupby path: runs once per
+    pid inside ``groupby(pid).map_groups``; reads/writes go to the lake
+    directory (shared storage on a real cluster). Returns a single metrics
+    row — the driver only ever collects P tiny rows."""
     payload_names = [f.name for f in payload_schema]
 
     def merge(group: pa.Table) -> pd.DataFrame:
         pid = int(group.column(PID_COL)[0].as_py())
-        ckpt = checkpoints.get(pid, -1)
-        ev = group.filter(pc.greater(group.column(lsn_col), pa.scalar(ckpt)))
-        if ev.num_rows == 0:
-            return pd.DataFrame([{"pid": pid, "action": "skip", "file": "",
-                                  "last_lsn": ckpt, "rows": 0, "tombstones": 0,
-                                  "events_applied": 0}])
-        ev = ev.select(payload_names + [lsn_col, RANK_COL])
-
-        cur_path = cur_files.get(pid)
-        if cur_path and os.path.exists(cur_path):
-            cur = pq.read_table(cur_path)
-            deleted = cur.column(LAKE_DELETED_COL)
-            cur_rank = pc.if_else(deleted, pa.scalar(2, pa.int8()),
-                                  pa.scalar(1, pa.int8()))
-            cur = cur.drop_columns([LAKE_DELETED_COL])
-            cur = cur.rename_columns(
-                [lsn_col if c == LAKE_LSN_COL else c for c in cur.column_names])
-            cur = cur.append_column(RANK_COL, cur_rank)
-            combined = pa.concat_tables([cur, ev], promote_options="permissive")
-        else:
-            combined = ev
-
-        winners = lww_winners(combined, key, lsn_col)
-        is_deleted = pc.equal(winners.column(RANK_COL), pa.scalar(2, pa.int8()))
-        out_names = [c for c in winners.column_names if c not in (lsn_col, RANK_COL)]
-        lake_tbl = winners.select(out_names)
-        lake_tbl = lake_tbl.append_column(LAKE_LSN_COL, winners.column(lsn_col))
-        lake_tbl = lake_tbl.append_column(LAKE_DELETED_COL, is_deleted)
-        # stable layout within the partition file (cheap: already key-sorted)
-        path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
-        pq.write_table(lake_tbl, path, compression="snappy")
-
-        last_lsn = max(ckpt, pc.max(ev.column(lsn_col)).as_py())
-        n_tomb = pc.sum(is_deleted.cast(pa.int64())).as_py() or 0
-        return pd.DataFrame([{
-            "pid": pid, "action": "write", "file": path,
-            "last_lsn": int(last_lsn), "rows": int(lake_tbl.num_rows - n_tomb),
-            "tombstones": int(n_tomb), "events_applied": int(ev.num_rows),
-        }])
+        row = _merge_partition_core(group, pid, checkpoints.get(pid, -1),
+                                    cur_files.get(pid), key, lsn_col,
+                                    payload_names, txn_dir)
+        return pd.DataFrame([row])
 
     return merge
+
+
+# ---------------------------------------------------------------------------
+# direct exchange (fused map + P-way hash exchange + merge via Ray core)
+# ---------------------------------------------------------------------------
+#
+# Profiling at sandbox scale showed Ray Data's generic sort-based groupby
+# spending its wall time on shuffle-object handling (B input blocks x P
+# partitions small objects + sort sampling barriers), not on compute; the CDC
+# exchange needs no sort at all — the partition function pid = hash(conv_id)%P
+# is known up front. This path expresses the exchange directly with Ray core
+# tasks (the "custom operator" escape hatch, SURVEY.md §2 "Custom operators"):
+#
+#   map task  (one per input split): read parquet split with pushdown ->
+#       schema-align -> op->rank -> pid -> per-split LWW combine -> return P
+#       sub-tables (one object per partition)
+#   merge task (one per pid): concat its B shards -> _merge_partition_core
+#
+# Partitioning assumption: every event of a key lands in exactly one pid
+# (guaranteed by the hash); merge starts when all map outputs for that pid
+# exist (an inherent barrier of any exchange). Object count is B x P — fine
+# for the per-round B and P this engine targets (LSN-chunked rounds bound B;
+# P is ~2-4x cluster cores). For extreme B x P, the Ray Data groupby path
+# (exchange="raydata") remains available; both paths share merge semantics
+# and are tested against the same oracle.
+
+import ray
+
+
+@ray.remote
+def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
+                       key: list[str], lsn_col: str, op_col: str,
+                       num_partitions: int, combine: bool) -> list[pa.Table]:
+    """Read one input split (with row-group pushdown), normalize, combine,
+    and split into ``num_partitions`` sub-tables (returned as P objects)."""
+    import pyarrow.dataset as pads
+
+    # the unified schema makes heterogeneous (evolved) fragments null-fill
+    # missing columns and widen types at scan time
+    tbl = pads.dataset(files, schema=schema).to_table(filter=flt)
+    tbl = align_to_schema(tbl, schema)
+    op_values = pa.array(OPS, type=pa.string())
+    rank = pc.index_in(tbl.column(op_col), value_set=op_values).cast(pa.int8())
+    tbl = tbl.drop_columns([op_col]).append_column(RANK_COL, rank)
+
+    h = stable_hash_strings(tbl.column(key[0]))
+    pid = (h % np.uint64(num_partitions)).astype(np.int32)
+    tbl = tbl.append_column(PID_COL, pa.array(pid))
+    if combine:
+        tbl = lww_winners(tbl, key, lsn_col)
+        pid = tbl.column(PID_COL).to_numpy()
+
+    # one take + zero-copy run slicing (cheaper than P filter passes)
+    order = np.argsort(pid, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    spid = pid[order]
+    bounds = np.searchsorted(spid, np.arange(num_partitions + 1))
+    return [tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(num_partitions)]
+
+
+@ray.remote
+def _exchange_merge_task(pid: int, cur_path, ckpt: int, key: list[str],
+                         lsn_col: str, payload_names: list[str],
+                         txn_dir: str, *shards) -> dict:
+    # shards arrive as top-level args so Ray resolves the ObjectRefs in-line
+    flat = []
+    for s in shards:
+        flat.extend(s) if isinstance(s, list) else flat.append(s)
+    parts = [s for s in flat if s.num_rows]
+    if not parts:
+        return {"pid": pid, "action": "skip", "file": "", "last_lsn": ckpt,
+                "rows": 0, "tombstones": 0, "events_applied": 0}
+    ev = pa.concat_tables(parts, promote_options="permissive")
+    return _merge_partition_core(ev, pid, ckpt, cur_path, key, lsn_col,
+                                 payload_names, txn_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +328,10 @@ class CDCEngine:
     def __init__(self, lake_dir: str, num_partitions: int = 32,
                  key: list[str] | None = None, lsn_col: str = "lsn",
                  op_col: str = "op", two_stage: bool = False, salts: int = 8,
-                 combine_batches: bool = True):
+                 combine_batches: bool = True, exchange: str = "direct"):
+        if exchange not in ("direct", "raydata"):
+            raise ValueError(f"unknown exchange {exchange!r}")
+        self.exchange = exchange
         self.lake_dir = lake_dir
         self.key = key or ["conv_id", "turn_idx"]
         self.lsn_col = lsn_col
@@ -290,6 +374,10 @@ class CDCEngine:
             f2 = pc.field(self.lsn_col) <= lsn_max
             flt = f2 if flt is None else (flt & f2)
 
+        if self.exchange == "direct":
+            return self._replay_direct(files, in_schema, payload_schema,
+                                       ckpts, flt)
+
         ds = rd.read_parquet(files, schema=in_schema, filter=flt)
         ds = ds.map_batches(
             _make_normalizer(in_schema, self.key, self.lsn_col, self.op_col,
@@ -308,23 +396,71 @@ class CDCEngine:
         merger = _make_merger(self.key, self.lsn_col, payload_schema,
                               self.manifest.partition_files(), ckpts,
                               version, txn_dir)
-        metrics = ds.groupby(PID_COL).map_groups(
-            merger, batch_format="pyarrow").to_pandas()
+        metrics_ds = ds.groupby(PID_COL).map_groups(merger, batch_format="pyarrow")
+        metrics = metrics_ds.to_pandas()
+        self.last_stats = metrics_ds.stats()  # per-operator wall/cpu breakdown
+        return self._commit_metrics(version, metrics.to_dict("records"))
 
-        written = metrics[metrics["action"] == "write"] if len(metrics) else metrics
-        if len(written) == 0:
+    def _replay_direct(self, files: list[str], in_schema: pa.Schema,
+                       payload_schema: pa.Schema, ckpts: dict[int, int],
+                       flt) -> dict[str, Any]:
+        """Direct P-way hash exchange via Ray core tasks (see module notes):
+        fused read+normalize+combine+split map tasks, then one merge task per
+        partition. Same merge semantics and exactly-once commit as the
+        Ray Data path."""
+        import ray as _ray
+
+        # split count derives from input bytes only (not cluster size), so the
+        # physical plan is identical at every parallelism level
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        target_splits = max(16, int(total_bytes // (64 << 20)))
+        n_splits = max(1, min(len(files), target_splits))
+        splits = [files[i::n_splits] for i in range(n_splits)]
+
+        P = self.num_partitions
+        payload_names = [f.name for f in payload_schema]
+        version = self.manifest.current_version() + 1
+        txn_dir = self.manifest.txn_data_dir(version)
+        cur_files = self.manifest.partition_files()
+
+        shard_refs = [
+            _exchange_map_task.options(num_returns=P).remote(
+                split, in_schema, flt, self.key, self.lsn_col, self.op_col,
+                P, self.combine_batches)
+            for split in splits
+        ]
+        # num_returns=1 yields a bare ref to the single-element list; the merge
+        # task flattens list elements, so the transpose below covers P == 1 too
+        per_pid = ([[r] for r in shard_refs] if P == 1
+                   else [list(col) for col in zip(*shard_refs)])
+        merge_refs = [
+            _exchange_merge_task.remote(pid, cur_files.get(pid),
+                                        ckpts.get(pid, -1), self.key,
+                                        self.lsn_col, payload_names, txn_dir,
+                                        *per_pid[pid])
+            for pid in range(P)
+        ]
+        rows = _ray.get(merge_refs)
+        self.last_stats = (f"direct exchange: {n_splits} map tasks x {P} "
+                           f"partitions ({total_bytes >> 20} MiB input)")
+        return self._commit_metrics(version, rows)
+
+    def _commit_metrics(self, version: int,
+                        rows: list[dict]) -> dict[str, Any]:
+        written = [r for r in rows if r.get("action") == "write"]
+        if not written:
             return {"version": self.manifest.current_version(), "committed": False,
                     "events_applied": 0, "partitions_written": 0}
-
         new_parts = {
-            int(r.pid): {"file": r.file, "last_lsn": int(r.last_lsn),
-                         "rows": int(r.rows), "tombstones": int(r.tombstones)}
-            for r in written.itertuples()
+            int(r["pid"]): {"file": r["file"], "last_lsn": int(r["last_lsn"]),
+                            "rows": int(r["rows"]),
+                            "tombstones": int(r["tombstones"])}
+            for r in written
         }
         totals = {
-            "events_applied": int(written["events_applied"].sum()),
+            "events_applied": int(sum(r["events_applied"] for r in written)),
             "partitions_written": len(new_parts),
-            "rows_live": int(written["rows"].sum()),
+            "rows_live": int(sum(r["rows"] for r in written)),
         }
         self.manifest.commit(version, new_parts,
                              meta={"num_partitions": self.num_partitions,

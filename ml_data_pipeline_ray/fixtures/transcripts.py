@@ -36,7 +36,8 @@ SCALES: dict[str, int] = {
     "tiny": 2_000,       # unit tests
     "small": 60_000,     # pytest e2e + duckdb-oracle correctness (sf0.01 analog)
     "bench": 600_000,    # throughput runs (sf0.1 analog)
-    "xbench": 2_400_000,  # scaling-efficiency runs (~4.7M events, ~1 GB)
+    "xbench": 2_400_000,   # scaling-efficiency runs (~4.7M events, ~1 GB)
+    "xxbench": 10_000_000,  # large scaling runs (~19.6M events, ~4 GB)
 }
 
 BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -379,13 +380,20 @@ def write_fixture_set(root: str, scale: str | int = "small", seed: int = 42,
 
 def ensure_fixture_set(root: str, scale: str | int = "small", seed: int = 42,
                        n_files: int = 16, evolve: bool = False) -> dict[str, str]:
-    """Idempotent :func:`write_fixture_set` — skips generation if already on disk."""
+    """Idempotent :func:`write_fixture_set` — skips generation iff the on-disk
+    marker matches the requested parameters (stale fixtures regenerate)."""
     done = os.path.join(root, "_FIXTURE_DONE")
+    stamp = f"scale={scale} seed={seed} n_files={n_files} evolve={evolve}\n"
     out = {"transcripts": os.path.join(root, "transcripts"),
            "changelog": os.path.join(root, "changelog")}
     if os.path.exists(done):
-        return out
+        with open(done) as f:
+            if f.read() == stamp:
+                return out
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
     write_fixture_set(root, scale, seed, n_files, evolve)
     with open(done, "w") as f:
-        f.write(f"scale={scale} seed={seed} n_files={n_files} evolve={evolve}\n")
+        f.write(stamp)
     return out

@@ -29,7 +29,8 @@ def scale_for_sf_dir(sf_dir: str) -> str:
 def fixture_paths(scale: str, evolve: bool = False) -> dict[str, str]:
     """Idempotently materialize + return the fixture set for a scale."""
     root = os.path.join(FIX_BASE, scale + ("_evolved" if evolve else ""))
-    return ensure_fixture_set(root, scale=scale, seed=SEED, n_files=N_FILES,
+    n_files = 64 if scale == "xxbench" else N_FILES
+    return ensure_fixture_set(root, scale=scale, seed=SEED, n_files=n_files,
                               evolve=evolve)
 
 

@@ -47,11 +47,24 @@ def test_full_replay_matches_oracle(small_fixture, tmp_path):
 @pytest.mark.usefixtures("ray_session")
 def test_two_stage_salted_path_equals_oracle(small_fixture, tmp_path):
     lake = str(tmp_path / "lake2")
-    eng = CDCEngine(lake, num_partitions=8, two_stage=True, salts=4)
+    eng = CDCEngine(lake, num_partitions=8, two_stage=True, salts=4,
+                    exchange="raydata")
     eng.replay(small_fixture["changelog"])
     got = eng.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
     want = oracle_replay(_read_all(small_fixture["changelog"]))
     _assert_tables_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_raydata_and_direct_exchange_agree(small_fixture, tmp_path):
+    """Both exchange implementations produce identical committed state."""
+    a = CDCEngine(str(tmp_path / "ld"), num_partitions=8, exchange="direct")
+    a.replay(small_fixture["changelog"])
+    b = CDCEngine(str(tmp_path / "lr"), num_partitions=8, exchange="raydata")
+    b.replay(small_fixture["changelog"])
+    ta = a.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    tb = b.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    pd.testing.assert_frame_equal(ta, tb)
 
 
 @pytest.mark.usefixtures("ray_session")
