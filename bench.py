@@ -73,6 +73,14 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
     # warm the page cache (reference-style untimed warmup) + raw event count
     events = rd.read_parquet(paths["changelog"]).count()
 
+    # scaling mode: one full untimed warmup replay first, so worker startup
+    # and OS caches are excluded from the steady-state measurement (mirrors
+    # the reference harness's warmup iterations, ml-data-bench/src/lib.rs:84)
+    if os.environ.get("MDPR_WARM_REPLAY") == "1":
+        wlake = tempfile.mkdtemp(prefix="bench_warm_", dir="/tmp")
+        CDCEngine(wlake, num_partitions=num_partitions).replay(paths["changelog"])
+        shutil.rmtree(wlake, ignore_errors=True)
+
     # headline: full CDC replay into a fresh lake
     lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
     eng = CDCEngine(lake, num_partitions=num_partitions)
@@ -105,14 +113,14 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same headline job at two parallelism levels in fresh processes.
 
-    Uses the larger "xbench" changelog (~4.7M events, ~1 GB) so per-CPU work
+    Uses the larger "xxbench" changelog (~19.6M events, ~4 GB) so per-CPU work
     dwarfs fixed scheduling overhead, pins the physical layout (64 lake
     partitions, 64-block read floor) so both cluster sizes run the identical
     plan, and takes the best of 2 runs per level to damp variance."""
     def one(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   MDPR_BENCH_NO_QUERIES="1", MDPR_BENCH_SCALE="xbench",
-                   MDPR_FIXED_LAYOUT="64")
+                   MDPR_BENCH_NO_QUERIES="1", MDPR_BENCH_SCALE="xxbench",
+                   MDPR_FIXED_LAYOUT="64", MDPR_WARM_REPLAY="1")
         best = None
         for _ in range(2):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],

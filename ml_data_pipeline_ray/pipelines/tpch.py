@@ -146,10 +146,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("revenue", alias_name="revenue")))
     # stabilize BEFORE top-k so the rank-10 cut is on exact decimals, with a
     # deterministic orderkey tiebreak matching the oracle's ORDER BY
+    from ..stages.topk import topk
     agg = agg.map_batches(lambda d: _stab(d, {"revenue": 4}),
                           batch_format="pandas")
-    top = (agg.sort(["revenue", "l_orderkey"], descending=[True, False])
-           .limit(10).to_pandas())
+    top = topk(agg, ["revenue", "l_orderkey"], 10, descending=[True, False])
     return _round(top, {"revenue": 2})
 
 
@@ -191,10 +191,10 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 # -- simple aggregates / sorts ----------------------------------------------
 
 def top_orders(sf_dir: str) -> pd.DataFrame:
+    from ..stages.topk import topk
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
-    out = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-           .limit(10).to_pandas())
+    out = topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
     return _round(out, {"o_totalprice": 2})
 
 
