@@ -199,6 +199,23 @@ GROUP BY user_id
 
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
+SQL_EVENTS_SYSTEMATIC_SAMPLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM events WHERE event_id % 20 = 0
+GROUP BY event_type
+"""
+
+SQL_UNION_EVENT_SLICES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM (
+  SELECT user_id, event_type, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_type, value FROM events WHERE event_type = 'error')
+GROUP BY event_type
+"""
+
 SQL_DEDUP_EXACT_EVENTS = """
 SELECT event_id, event_type, props FROM (
   SELECT event_id, event_type, props,

@@ -42,6 +42,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         "events_user_stats": Q.events_user_stats,
+        "events_systematic_sample": Q.events_systematic_sample,
+        "union_event_slices": Q.union_event_slices,
         "distinct_event_types": Q.distinct_event_types,
         # text analysis
         "docs_token_stats": X.docs_token_stats,
@@ -80,6 +82,8 @@ def build_oracle_sql() -> dict[str, str]:
         "events_hourly": S.SQL_EVENTS_HOURLY,
         "events_sessions": S.SQL_EVENTS_SESSIONS,
         "events_user_stats": S.SQL_EVENTS_USER_STATS,
+        "events_systematic_sample": S.SQL_EVENTS_SYSTEMATIC_SAMPLE,
+        "union_event_slices": S.SQL_UNION_EVENT_SLICES,
         "distinct_event_types": S.SQL_DISTINCT_EVENT_TYPES,
         "docs_token_stats": S.SQL_DOCS_TOKEN_STATS,
         "docs_quality_by_source": S.sql_docs_quality_by_source(),

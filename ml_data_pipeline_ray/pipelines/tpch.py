@@ -313,6 +313,40 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
     return _round(_stab(out, {"total_value": 2}), {"total_value": 2})
 
 
+def events_systematic_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 5% systematic sample (event_id % 20 == 0) — the seeded/
+    reproducible sampling path (O4); random_sample() exists but cannot share
+    an oracle across engines."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    def mod20(t: pa.Table) -> pa.Table:
+        # event_id % 20 == 0 (pyarrow has no modulo kernel: a - (a/20)*20)
+        m = pc.subtract(t["event_id"],
+                        pc.multiply(pc.divide(t["event_id"], 20), 20))
+        return t.filter(pc.equal(m, 0))
+
+    ds = ds.map_batches(mod20, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
+
+
+def union_event_slices(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union (U1): purchases UNION ALL error events, counted per type
+    per user bucket."""
+    base = ["user_id", "event_type", "value"]
+    a = rd.read_parquet(_t(sf_dir, "events"), columns=base,
+                        filter=pc.field("event_type") == "purchase")
+    b = rd.read_parquet(_t(sf_dir, "events"), columns=base,
+                        filter=pc.field("event_type") == "error")
+    u = a.union(b)
+    out = (u.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))

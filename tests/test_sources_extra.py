@@ -1,0 +1,100 @@
+"""TFRecord framing, Arrow IPC round trip, timeseries gap fill (S5/S6/S9)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ml_data_pipeline_ray.sources.arrow_ipc import (read_arrow_ipc,
+                                                    read_arrow_ipc_dataset,
+                                                    write_arrow_ipc)
+from ml_data_pipeline_ray.sources.tfrecord import (masked_crc,
+                                                   read_tfrecord_file,
+                                                   read_tfrecords,
+                                                   write_tfrecords)
+from ml_data_pipeline_ray.stages.timeseries import (fill_gaps, infer_regularity,
+                                                    parse_frequency,
+                                                    regularize_per_key)
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    recs = [b"hello", b"", b"x" * 1000, bytes(range(256))]
+    p = str(tmp_path / "a.tfrecord")
+    write_tfrecords(recs, p)
+    t = read_tfrecord_file(p)
+    assert t.column("data").to_pylist() == recs
+    assert t.column("length").to_pylist() == [len(r) for r in recs]
+    # offsets point at each record's frame start
+    offs = t.column("offset").to_pylist()
+    assert offs[0] == 0 and offs[1] == 8 + 4 + 5 + 4
+
+
+def test_tfrecord_crc_detects_corruption(tmp_path):
+    p = str(tmp_path / "b.tfrecord")
+    write_tfrecords([b"payload-one", b"payload-two"], p)
+    raw = bytearray(open(p, "rb").read())
+    raw[14] ^= 0xFF  # flip a payload byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_tfrecord_file(p)
+    # verify_crc=False tolerates it (reference behavior with its stub CRC)
+    t = read_tfrecord_file(p, verify_crc=False)
+    assert t.num_rows == 2
+    assert masked_crc(b"abc") != masked_crc(b"abd")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfrecords_dataset(tmp_path):
+    for i in range(3):
+        write_tfrecords([f"r{i}-{j}".encode() for j in range(4)],
+                        str(tmp_path / f"f{i}.tfrecord"))
+    ds = read_tfrecords([str(tmp_path / f"f{i}.tfrecord") for i in range(3)])
+    assert ds.count() == 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_arrow_ipc_roundtrip(tmp_path):
+    t = pa.table({"a": [1, 2, 3], "b": ["x", None, "z"]})
+    p = str(tmp_path / "t.arrow")
+    write_arrow_ipc(t, p)
+    assert read_arrow_ipc(p).equals(t)
+    assert read_arrow_ipc(p, memory_map=False).equals(t)
+    assert read_arrow_ipc_dataset(p).count() == 3
+
+
+def test_parse_frequency():
+    assert parse_frequency("5min") == 5 * 60 * 1_000_000_000
+    assert parse_frequency("1h") == 3_600 * 1_000_000_000
+    assert parse_frequency("s") == 1_000_000_000
+    assert parse_frequency("2 d") == 2 * 86_400 * 1_000_000_000
+    with pytest.raises(ValueError):
+        parse_frequency("fortnight")
+
+
+def test_infer_regularity_and_fill():
+    ts = pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:05",
+                         "2026-01-01 00:15", "2026-01-01 00:20"])
+    reg = infer_regularity(pd.Series(ts))
+    assert not reg["regular"] and reg["freq_ns"] == 5 * 60 * 1_000_000_000
+    df = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0, 5.0]})
+    filled = fill_gaps(df, "ts", ["v"], "5min", method="linear")
+    assert len(filled) == 5
+    assert filled["v"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0]
+    fwd = fill_gaps(df, "ts", ["v"], "5min", method="forward")
+    assert fwd["v"].tolist() == [1.0, 2.0, 2.0, 4.0, 5.0]
+    zero = fill_gaps(df, "ts", ["v"], "5min", method="zero")
+    assert zero["v"].tolist() == [1.0, 2.0, 0.0, 4.0, 5.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_regularize_per_key():
+    import ray.data as rd
+    ts = pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:10",
+                         "2026-01-01 00:00", "2026-01-01 00:05"])
+    df = pd.DataFrame({"k": ["a", "a", "b", "b"], "ts": ts,
+                       "v": [1.0, 3.0, 10.0, 11.0]})
+    out = regularize_per_key(rd.from_pandas(df), "k", "ts", ["v"],
+                             "5min", method="linear").to_pandas()
+    a = out[out.k == "a"].sort_values("ts")["v"].tolist()
+    assert a == [1.0, 2.0, 3.0]
+    assert len(out[out.k == "b"]) == 2
