@@ -197,7 +197,9 @@ def _merge_partition_core(ev: pa.Table, pid: int, ckpt: int,
     lake_tbl = lake_tbl.append_column(LAKE_DELETED_COL, is_deleted)
     # stable layout within the partition file (cheap: already key-sorted)
     path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
-    pq.write_table(lake_tbl, path, compression="snappy")
+    # zstd-1 halves lake bytes vs snappy at equal CPU — partition-write disk
+    # bandwidth is the merge wall's floor at high parallelism
+    pq.write_table(lake_tbl, path, compression="zstd", compression_level=1)
 
     last_lsn = max(ckpt, pc.max(ev.column(lsn_col)).as_py())
     n_tomb = pc.sum(is_deleted.cast(pa.int64())).as_py() or 0

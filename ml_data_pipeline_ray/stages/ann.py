@@ -49,12 +49,18 @@ class BruteForceTopK:
 
     def __init__(self, queries_ref, id_col: str = "vec_id",
                  emb_col: str = "embedding", k: int = 10):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.q_ids = q["ids"]                     # (Q,)
-        self.qm = _normalize(q["matrix"])         # (Q, d)
+        self._ref = queries_ref
+        self.qm = None
         self.id_col, self.emb_col, self.k = id_col, emb_col, k
 
+    def _resolve(self):
+        q = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
+        self.q_ids = q["ids"]                     # (Q,)
+        self.qm = _normalize(q["matrix"])         # (Q, d)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qm is None:
+            self._resolve()
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch.column(self.emb_col)))
         sims = m @ self.qm.T                      # (n, Q)
@@ -82,9 +88,8 @@ def brute_force_topk(ds: rd.Dataset, query_ids: np.ndarray, query_matrix: np.nda
     the SQL oracle deterministically.
     """
     ref = ray.put({"ids": query_ids, "matrix": query_matrix})
-    kw = {"concurrency": concurrency} if concurrency else {}
     cand = ds.map_batches(BruteForceTopK(ref, id_col, emb_col, k),
-                          batch_format="pyarrow", **kw).to_pandas()
+                          batch_format="pyarrow").to_pandas()
     if exclude_self:
         cand = cand[cand["query_id"] != cand["neighbor_id"]]
     cand = cand.sort_values(["query_id", "sim", "neighbor_id"],
@@ -100,13 +105,17 @@ class CosinePairFinder:
 
     def __init__(self, index_ref, threshold: float, id_col: str = "vec_id",
                  emb_col: str = "embedding"):
-        ix = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
-        self.ix_ids = ix["ids"]
-        self.ixm = _normalize(ix["matrix"])
+        self._ref = index_ref
+        self.ixm = None
         self.threshold = threshold
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.ixm is None:
+            ix = (ray.get(self._ref)
+                  if isinstance(self._ref, ray.ObjectRef) else self._ref)
+            self.ix_ids = ix["ids"]
+            self.ixm = _normalize(ix["matrix"])
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch.column(self.emb_col)))
         sims = m @ self.ixm.T

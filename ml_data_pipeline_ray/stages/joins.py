@@ -53,35 +53,50 @@ def _hash_cols(df_or_tbl, on: list[str]) -> np.ndarray:
 
 
 class _BroadcastJoiner:
-    """Actor-pool stage: pandas merge of each batch against the broadcast side."""
+    """Per-batch pandas merge against the broadcast side. The instance holds
+    only the ObjectRef (tiny per-task pickle); the table resolves lazily from
+    the local object store on first use in each worker."""
 
     def __init__(self, small_ref, on: list[str], how: str):
-        self.small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self._ref = small_ref
+        self._small = None
         self.on, self.how = on, how
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how)
+        if self._small is None:
+            self._small = (ray.get(self._ref)
+                           if isinstance(self._ref, ray.ObjectRef) else self._ref)
+        return batch.merge(self._small, on=self.on, how=self.how)
 
 
 def broadcast_join(ds: rd.Dataset, small: pd.DataFrame | pa.Table,
                    on: list[str], how: Literal["inner", "left"] = "inner",
                    concurrency: int | None = None) -> rd.Dataset:
-    """Join a streaming Dataset against a small in-memory table (broadcast
-    once via ``ray.put``, merged per batch). No shuffle."""
+    """Join a streaming Dataset against a small in-memory table: broadcast
+    once via ``ray.put`` and resolved lazily from the local object store
+    inside each task (never re-shipped per batch, no actor-pool startup).
+    No shuffle. Pass ``concurrency`` to switch to an actor pool when the
+    resolve cost itself matters (very large broadcast sides)."""
     if isinstance(small, pa.Table):
         small = small.to_pandas()
     ref = ray.put(small)
-    kw = {"concurrency": concurrency} if concurrency else {}
-    return ds.map_batches(_BroadcastJoiner(ref, on, how),
-                          batch_format="pandas", **kw)
+    if concurrency:
+        return ds.map_batches(_BroadcastJoiner,
+                              fn_constructor_args=(ref, on, how),
+                              batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(_BroadcastJoiner(ref, on, how), batch_format="pandas")
 
 
 class _SemiFilter:
     def __init__(self, keys_ref, on: list[str], anti: bool):
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        self.keys, self.on, self.anti = keys, on, anti
+        self._ref = keys_ref
+        self.keys = None
+        self.on, self.anti = on, anti
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.keys is None:
+            self.keys = (ray.get(self._ref)
+                         if isinstance(self._ref, ray.ObjectRef) else self._ref)
         if len(self.on) == 1:
             mask = batch[self.on[0]].isin(self.keys)
         else:
