@@ -58,11 +58,16 @@ class LakeManifest:
         with open(p) as f:
             return int(json.load(f)["version"])
 
-    def load(self) -> dict[str, Any]:
-        """Current committed manifest (empty v0 if the lake is new)."""
-        v = self.current_version()
+    def load(self, version: int | None = None) -> dict[str, Any]:
+        """A committed manifest — the current one, or a pinned historical
+        ``version`` (manifests are retained, so any committed version remains
+        readable: snapshot-isolation time travel)."""
+        v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "partitions": {}, "meta": {}, "metrics": {}}
+        if version is not None and version > self.current_version():
+            raise ValueError(f"version {version} has not been committed "
+                             f"(current: {self.current_version()})")
         with open(os.path.join(self.manifest_dir, f"manifest-{v:06d}.json")) as f:
             return json.load(f)
 
@@ -71,9 +76,10 @@ class LakeManifest:
         m = self.load()
         return {int(pid): int(e["last_lsn"]) for pid, e in m["partitions"].items()}
 
-    def partition_files(self) -> dict[int, str]:
-        """pid -> absolute path of the current partition-state parquet file."""
-        m = self.load()
+    def partition_files(self, version: int | None = None) -> dict[int, str]:
+        """pid -> absolute path of the partition-state parquet file (at the
+        current or a pinned version)."""
+        m = self.load(version)
         return {int(pid): os.path.join(self.lake_dir, e["file"])
                 for pid, e in m["partitions"].items()}
 

@@ -485,12 +485,83 @@ class CDCEngine:
                                    lsn_max=int(edges[i + 1])))
         return out
 
+    def tail(self, changelog: str | list[str], max_polls: int = 10,
+             idle_stop: int = 2, poll_interval_s: float = 0.0) -> list[dict]:
+        """Binlog/WAL-style tailer: poll the changelog location and apply
+        whatever is new, as long as new events keep arriving.
+
+        Each poll is one exactly-once :meth:`replay` — per-partition LSN
+        checkpoints make polling idempotent (already-applied events are
+        pruned at the read and skipped in the merge), so "tail" is literally
+        "replay in a loop". Stops after ``idle_stop`` consecutive polls with
+        nothing new, or ``max_polls`` total. Returns per-poll metrics.
+
+        Delivery contract (the standard WAL/binlog prefix property): segments
+        that appear later must only contain events with LSN above the
+        already-applied checkpoints — checkpoints are watermarks meaning
+        "everything at or below is applied". Out-of-order backfill across
+        polls violates that; for such logs, replay the full set in one call
+        (idempotent, order-free) instead of tailing."""
+        import time as _time
+
+        out = []
+        idle = 0
+        for _ in range(max_polls):
+            m = self.replay(changelog)
+            out.append(m)
+            idle = 0 if m["committed"] else idle + 1
+            if idle >= idle_stop:
+                break
+            if poll_interval_s:
+                _time.sleep(poll_interval_s)
+        return out
+
+    def compact(self, ray_remote_args: dict | None = None) -> dict[str, Any]:
+        """Drop tombstones by rewriting partitions that have any (one new
+        exactly-once transaction; untouched partitions carry forward).
+
+        Safe because every stored tombstone's ``_lsn`` <= that partition's
+        checkpoint, and replay filters incoming events to
+        ``lsn > checkpoint[pid]`` — no late event can resurrect a compacted
+        delete."""
+        import ray as _ray
+
+        man = self.manifest.load()
+        todo = {int(pid): e for pid, e in man["partitions"].items()
+                if e.get("tombstones", 0) > 0}
+        if not todo:
+            return {"version": man["version"], "committed": False,
+                    "partitions_compacted": 0}
+        version = man["version"] + 1
+        txn_dir = self.manifest.txn_data_dir(version)
+
+        @_ray.remote
+        def rewrite(pid: int, src: str, last_lsn: int) -> dict:
+            tbl = pq.read_table(src)
+            live = tbl.filter(pc.equal(tbl.column(LAKE_DELETED_COL), False))
+            path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
+            pq.write_table(live, path, compression="zstd", compression_level=1)
+            return {"pid": pid, "action": "write", "file": path,
+                    "last_lsn": last_lsn, "rows": live.num_rows,
+                    "tombstones": 0, "events_applied": 0}
+
+        rows = _ray.get([
+            rewrite.remote(pid, os.path.join(self.lake_dir, e["file"]),
+                           int(e["last_lsn"]))
+            for pid, e in todo.items()
+        ])
+        res = self._commit_metrics(version, rows)
+        res["partitions_compacted"] = len(rows)
+        return res
+
     # -- read side ----------------------------------------------------------
 
-    def final_dataset(self, columns: list[str] | None = None) -> rd.Dataset:
+    def final_dataset(self, columns: list[str] | None = None,
+                      version: int | None = None) -> rd.Dataset:
         """The committed lake table as a streaming Dataset (tombstones dropped,
-        internal columns hidden)."""
-        pfiles = sorted(self.manifest.partition_files().values())
+        internal columns hidden). Pass ``version`` to time-travel to any
+        previously committed transaction (manifests are retained)."""
+        pfiles = sorted(self.manifest.partition_files(version).values())
         if not pfiles:
             raise ValueError("lake is empty (no committed transactions)")
         schema = unify_parquet_schemas(pfiles)
@@ -501,11 +572,11 @@ class CDCEngine:
         ds = ds.select_columns(columns or user_cols)
         return ds
 
-    def final_table(self, sort: bool = True) -> pa.Table:
+    def final_table(self, sort: bool = True, version: int | None = None) -> pa.Table:
         """Materialized final state, sorted by key — for tests/verification
         only (stable turn ordering per BASELINE.json); never call on 100 TB."""
         batches = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-                   for b in self.final_dataset().iter_batches(
+                   for b in self.final_dataset(version=version).iter_batches(
                        batch_size=65536, batch_format="pyarrow")]
         tbl = pa.concat_tables(batches, promote_options="permissive")
         if sort:

@@ -1,0 +1,95 @@
+"""CDC lake lifecycle: tailing, compaction, time travel."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ml_data_pipeline_ray.cdc import CDCEngine, oracle_replay
+from ml_data_pipeline_ray.cdc.oracle import FINAL_COLUMNS
+from ml_data_pipeline_ray.cdc.replay import LAKE_DELETED_COL
+
+
+def _read_all(d):
+    return pa.concat_tables([pq.read_table(f) for f in sorted(glob.glob(d + "/*.parquet"))],
+                            promote_options="permissive")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_applies_incrementally_arriving_files(small_fixture, tmp_path):
+    """Simulate a binlog tail: LSN-ordered log segments arrive in waves (the
+    WAL prefix contract — later segments only carry higher LSNs); each poll
+    applies only what's new; final state equals the full-oracle replay."""
+    full = _read_all(small_fixture["changelog"]).sort_by([("lsn", "ascending")])
+    n = full.num_rows
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+
+    applied = []
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        seg = full.slice(bounds[i], bounds[i + 1] - bounds[i])
+        pq.write_table(seg, os.path.join(spool, f"segment-{i:03d}.parquet"))
+        res = eng.tail(spool, max_polls=3, idle_stop=1)
+        applied.extend(res)
+    assert sum(r["committed"] for r in applied) == 3
+    # nothing new -> tail stops without committing
+    res = eng.tail(spool, max_polls=3, idle_stop=2)
+    assert all(not r["committed"] for r in res)
+
+    got = eng.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    want = oracle_replay(_read_all(small_fixture["changelog"]))
+    assert len(got) == len(want)
+    for col in FINAL_COLUMNS:
+        pd.testing.assert_series_equal(got[col].reset_index(drop=True),
+                                       want[col].reset_index(drop=True),
+                                       check_names=False, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_drops_tombstones_preserves_state(small_fixture, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    eng.replay(small_fixture["changelog"])
+    before = eng.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    tombs_before = sum(e["tombstones"]
+                       for e in eng.manifest.load()["partitions"].values())
+    assert tombs_before > 0
+
+    res = eng.compact()
+    assert res["committed"] and res["partitions_compacted"] > 0
+    tombs_after = sum(e["tombstones"]
+                      for e in eng.manifest.load()["partitions"].values())
+    assert tombs_after == 0
+    # physical files contain no deleted rows anymore
+    for f in eng.manifest.partition_files().values():
+        t = pq.read_table(f)
+        assert t.filter(t.column(LAKE_DELETED_COL)).num_rows == 0
+
+    after = eng.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    pd.testing.assert_frame_equal(before, after)
+
+    # replay after compaction stays a no-op (checkpoints intact)
+    again = eng.replay(small_fixture["changelog"])
+    assert again["committed"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_travel_versions(small_fixture, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rounds = eng.replay_in_rounds(small_fixture["changelog"], num_rounds=2)
+    v1, v2 = rounds[0]["version"], rounds[1]["version"]
+    t1 = eng.final_table(sort=True, version=v1)
+    t2 = eng.final_table(sort=True, version=v2)
+    tcur = eng.final_table(sort=True)
+    assert t2.equals(tcur)
+    assert not t1.equals(t2)          # state evolved between versions
+    with pytest.raises(ValueError, match="not been committed"):
+        eng.final_dataset(version=99)
