@@ -199,6 +199,15 @@ GROUP BY user_id
 
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
+SQL_EVENTS_ONEHOT = """
+SELECT CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+"""
+
 SQL_EVENTS_SYSTEMATIC_SAMPLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value

@@ -44,6 +44,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": Q.events_user_stats,
         "events_systematic_sample": Q.events_systematic_sample,
         "union_event_slices": Q.union_event_slices,
+        "events_onehot": Q.events_onehot,
         "distinct_event_types": Q.distinct_event_types,
         # text analysis
         "docs_token_stats": X.docs_token_stats,
@@ -84,6 +85,7 @@ def build_oracle_sql() -> dict[str, str]:
         "events_user_stats": S.SQL_EVENTS_USER_STATS,
         "events_systematic_sample": S.SQL_EVENTS_SYSTEMATIC_SAMPLE,
         "union_event_slices": S.SQL_UNION_EVENT_SLICES,
+        "events_onehot": S.SQL_EVENTS_ONEHOT,
         "distinct_event_types": S.SQL_DISTINCT_EVENT_TYPES,
         "docs_token_stats": S.SQL_DOCS_TOKEN_STATS,
         "docs_quality_by_source": S.sql_docs_quality_by_source(),

@@ -347,6 +347,19 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
+def events_onehot(sf_dir: str) -> pd.DataFrame:
+    """Fitted OneHotEncoder (reference README's canonical transform) over
+    event_type; indicator-column sums are the verifiable output."""
+    from ..stages.encoders import OneHotEncoder
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    enc = OneHotEncoder("event_type").fit(ds)
+    out = enc.transform(ds)
+    aggs = [Sum(f"event_type_{c}", alias_name=f"n_{c}") for c in enc.categories]
+    row = out.aggregate(*aggs)
+    return pd.DataFrame([{k: int(v) for k, v in row.items()}])
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
