@@ -141,9 +141,13 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
 
+    # group by the key alone (narrower sort); o_orderdate / o_orderpriority
+    # are functionally dependent on l_orderkey, so Max() carries them exactly
     agg = (li.map_batches(rev, batch_format="pandas")
-           .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-           .aggregate(Sum("revenue", alias_name="revenue")))
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Max("o_orderdate", alias_name="o_orderdate"),
+                      Max("o_orderpriority", alias_name="o_orderpriority")))
     # stabilize BEFORE top-k so the rank-10 cut is on exact decimals, with a
     # deterministic orderkey tiebreak matching the oracle's ORDER BY
     from ..stages.topk import topk
