@@ -199,6 +199,17 @@ GROUP BY user_id
 
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
+SQL_EVENTS_PROPS_K = r"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+SQL_CSV_ROUNDTRIP_SUPPLIER = """
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+"""
+
 SQL_EVENTS_ONEHOT = """
 SELECT CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,

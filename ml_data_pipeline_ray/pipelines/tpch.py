@@ -351,6 +351,42 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
+def events_props_k(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured parsing: extract the integer ``k`` from the JSON-ish
+    ``props`` string column with a vectorized Arrow regex (T8 parser family)
+    and aggregate per event type."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    out = (ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+           ).to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out
+
+
+def csv_roundtrip_supplier(sf_dir: str) -> pd.DataFrame:
+    """CSV writer -> typed CSV reader (schema inference) round trip (S1/K1):
+    supplier goes to CSV and back; the oracle reads the original table, so
+    any loss in the round trip fails the value hash."""
+    import tempfile
+    import glob as _glob
+
+    from ..sources import read_csv_typed
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"))
+    out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    ds.write_csv(out_dir)
+    back = read_csv_typed(sorted(_glob.glob(out_dir + "/*")))
+    df = back.to_pandas()
+    return _round(df, {"s_acctbal": 2})
+
+
 def events_onehot(sf_dir: str) -> pd.DataFrame:
     """Fitted OneHotEncoder (reference README's canonical transform) over
     event_type; indicator-column sums are the verifiable output."""

@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "supplier_balance_by_nation", "lineitem_filter_predicates",
     "events_hourly", "events_sessions", "events_user_stats",
     "events_systematic_sample", "union_event_slices", "events_onehot",
+    "events_props_k", "csv_roundtrip_supplier",
     "distinct_event_types",
     "docs_token_stats", "docs_quality_by_source", "docs_langid",
     "dedup_exact_events", "dedup_exact_docs",
