@@ -333,6 +333,10 @@ class CDCEngine:
                  combine_batches: bool = True, exchange: str = "direct"):
         if exchange not in ("direct", "raydata"):
             raise ValueError(f"unknown exchange {exchange!r}")
+        if two_stage:
+            # the salted two-stage reduce is a groupby construct; the direct
+            # exchange gets its skew resistance from per-split combining
+            exchange = "raydata"
         self.exchange = exchange
         self.lake_dir = lake_dir
         self.key = key or ["conv_id", "turn_idx"]
