@@ -200,6 +200,12 @@ def _merge_partition_core(ev: pa.Table, pid: int, ckpt: int,
     # zstd-1 halves lake bytes vs snappy at equal CPU — partition-write disk
     # bandwidth is the merge wall's floor at high parallelism
     pq.write_table(lake_tbl, path, compression="zstd", compression_level=1)
+    # 2PC durability done right: each data file is fsynced HERE, in parallel
+    # across merge tasks, so the commit-time manifest fsync is tiny. (Without
+    # this, the manifest fsync could both stall seconds behind ~GBs of dirty
+    # writeback and fail to actually cover the data files.)
+    with open(path, "rb") as f:
+        os.fsync(f.fileno())
 
     last_lsn = max(ckpt, pc.max(ev.column(lsn_col)).as_py())
     n_tomb = pc.sum(is_deleted.cast(pa.int64())).as_py() or 0
@@ -273,17 +279,35 @@ def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
     h = stable_hash_strings(tbl.column(key[0]))
     pid = (h % np.uint64(num_partitions)).astype(np.int32)
     tbl = tbl.append_column(PID_COL, pa.array(pid))
-    if combine:
-        tbl = lww_winners(tbl, key, lsn_col)
-        pid = tbl.column(PID_COL).to_numpy()
 
-    # one take + zero-copy run slicing (cheaper than P filter passes)
-    order = np.argsort(pid, kind="stable")
-    tbl = tbl.take(pa.array(order))
-    spid = pid[order]
+    # ONE sort orders by (pid, key..., lsn, rank): the LWW-combine boundary
+    # scan AND the partition split both read off it (pid never splits a key —
+    # it is a function of key[0])
+    sort_keys = ([(PID_COL, "ascending")] + [(k, "ascending") for k in key]
+                 + [(lsn_col, "ascending"), (RANK_COL, "ascending")])
+    tbl = tbl.sort_by(sort_keys)
+    if combine:
+        n = tbl.num_rows
+        if n > 1:
+            neq = None
+            for k in key:
+                col = tbl.column(k).combine_chunks()
+                d = pc.fill_null(pc.not_equal(col.slice(0, n - 1), col.slice(1)), True)
+                neq = d if neq is None else pc.or_(neq, d)
+            mask = np.ones(n, dtype=bool)
+            mask[: n - 1] = neq.to_numpy(zero_copy_only=False)
+            tbl = tbl.filter(pa.array(mask))
+
+    spid = tbl.column(PID_COL).to_numpy()
     bounds = np.searchsorted(spid, np.arange(num_partitions + 1))
-    return [tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-            for i in range(num_partitions)]
+    # each slice is gather-copied so the serialized return objects hold ONLY
+    # their own rows (a zero-copy slice drags its parent buffers into the
+    # object store)
+    out = []
+    for i in range(num_partitions):
+        part = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        out.append(part.take(pa.array(np.arange(part.num_rows, dtype=np.int64))))
+    return out
 
 
 @ray.remote
@@ -417,9 +441,10 @@ class CDCEngine:
         import ray as _ray
 
         # split count derives from input bytes only (not cluster size), so the
-        # physical plan is identical at every parallelism level
+        # physical plan is identical at every parallelism level; ~32 MiB of
+        # compressed parquet per split keeps per-task heap bounded
         total_bytes = sum(os.path.getsize(f) for f in files)
-        target_splits = max(16, int(total_bytes // (64 << 20)))
+        target_splits = max(16, int(total_bytes // (32 << 20)))
         n_splits = max(1, min(len(files), target_splits))
         splits = [files[i::n_splits] for i in range(n_splits)]
 
@@ -429,6 +454,9 @@ class CDCEngine:
         txn_dir = self.manifest.txn_data_dir(version)
         cur_files = self.manifest.partition_files()
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         shard_refs = [
             _exchange_map_task.options(num_returns=P).remote(
                 split, in_schema, flt, self.key, self.lsn_col, self.op_col,
@@ -439,6 +467,9 @@ class CDCEngine:
         # task flattens list elements, so the transpose below covers P == 1 too
         per_pid = ([[r] for r in shard_refs] if P == 1
                    else [list(col) for col in zip(*shard_refs)])
+        flat = [r for col in per_pid for r in col]
+        _ray.wait(flat, num_returns=len(flat), fetch_local=False)
+        t_maps = _time.perf_counter()
         merge_refs = [
             _exchange_merge_task.remote(pid, cur_files.get(pid),
                                         ckpts.get(pid, -1), self.key,
@@ -447,9 +478,14 @@ class CDCEngine:
             for pid in range(P)
         ]
         rows = _ray.get(merge_refs)
-        self.last_stats = (f"direct exchange: {n_splits} map tasks x {P} "
-                           f"partitions ({total_bytes >> 20} MiB input)")
-        return self._commit_metrics(version, rows)
+        t_merge = _time.perf_counter()
+        res = self._commit_metrics(version, rows)
+        t_commit = _time.perf_counter()
+        self.last_stats = (
+            f"direct exchange: {n_splits} map tasks x {P} partitions "
+            f"({total_bytes >> 20} MiB input); maps {t_maps - t0:.2f}s, "
+            f"merge {t_merge - t_maps:.2f}s, commit {t_commit - t_merge:.2f}s")
+        return res
 
     def _commit_metrics(self, version: int,
                         rows: list[dict]) -> dict[str, Any]:
