@@ -27,6 +27,12 @@ resume"; reference analogs: ``reset()``/``seek_to_row`` row-offset index,
 On a multi-node cluster ``lake_dir`` must live on shared storage (S3 /
 NFS); in this sandbox it is a local directory, which has the same
 visibility semantics for a single node.
+
+**Single-writer contract**: exactly one process may run transactions
+against a lake at a time (the normal deployment for a WAL applier —
+the changelog itself is a single logical stream). Concurrent writers
+racing on the same version collide on the exclusive manifest create
+below and fail loudly rather than silently losing a committed update.
 """
 
 from __future__ import annotations
@@ -117,8 +123,24 @@ class LakeManifest:
             "meta": {**prev.get("meta", {}), **(meta or {})},
             "metrics": metrics or {},
         }
+        # make the staged data files' directory entries durable before any
+        # manifest references them (files themselves were fsynced by their
+        # merge tasks, in parallel)
+        txn_dir = os.path.join(self.data_dir, f"txn-{version:06d}")
+        if os.path.isdir(txn_dir):
+            _fsync_dir(txn_dir)
         mpath = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
-        _atomic_write_json(mpath, manifest)
+        try:
+            _write_json_exclusive(mpath, manifest)
+        except FileExistsError:
+            # The engine requires exactly ONE writer per lake (standard for a
+            # WAL applier). An existing file at an uncommitted version is
+            # crash debris from this writer's prior attempt — _CURRENT never
+            # advanced, so no reader can have observed it; replace it. A live
+            # concurrent writer racing on the same version turns into this
+            # hard-to-miss collision instead of a silent lost update.
+            os.unlink(mpath)
+            _write_json_exclusive(mpath, manifest)
         _atomic_write_json(os.path.join(self.lake_dir, CURRENT_POINTER),
                            {"version": version})
         return manifest
@@ -136,6 +158,16 @@ class LakeManifest:
         return removed
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a rename/create in ``path`` durable (POSIX requires fsyncing the
+    directory entry, not just the file contents)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write_json(path: str, obj: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -143,3 +175,15 @@ def _atomic_write_json(path: str, obj: Any) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
+def _write_json_exclusive(path: str, obj: Any) -> None:
+    """Durably create ``path``, failing with FileExistsError if present
+    (O_EXCL — the single-writer collision detector)."""
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(os.path.dirname(path))

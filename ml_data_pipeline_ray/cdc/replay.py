@@ -463,9 +463,10 @@ class CDCEngine:
                 P, self.combine_batches)
             for split in splits
         ]
-        # num_returns=1 yields a bare ref to the single-element list; the merge
-        # task flattens list elements, so the transpose below covers P == 1 too
-        per_pid = ([[r] for r in shard_refs] if P == 1
+        # num_returns=1 yields a bare ref to the single-element list (not a
+        # tuple of refs), so zip(*) can't transpose it — the lone merge task
+        # must receive ALL B shard refs and flatten their list payloads
+        per_pid = ([list(shard_refs)] if P == 1
                    else [list(col) for col in zip(*shard_refs)])
         flat = [r for col in per_pid for r in col]
         _ray.wait(flat, num_returns=len(flat), fetch_local=False)
@@ -581,6 +582,10 @@ class CDCEngine:
             live = tbl.filter(pc.equal(tbl.column(LAKE_DELETED_COL), False))
             path = os.path.join(txn_dir, f"pid={pid:05d}.parquet")
             pq.write_table(live, path, compression="zstd", compression_level=1)
+            # same durability rule as _merge_partition_core: the data file
+            # must be on disk before the manifest can point at it
+            with open(path, "rb") as f:
+                os.fsync(f.fileno())
             return {"pid": pid, "action": "write", "file": path,
                     "last_lsn": last_lsn, "rows": live.num_rows,
                     "tombstones": 0, "events_applied": 0}

@@ -68,6 +68,18 @@ def test_raydata_and_direct_exchange_agree(small_fixture, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_single_partition_direct_exchange_keeps_all_splits(small_fixture, tmp_path):
+    """P=1 regression: with num_partitions=1 the lone merge task must receive
+    every map split's output, not just the first (ADVICE r1, replay.py:468)."""
+    eng = CDCEngine(str(tmp_path / "lp1"), num_partitions=1, exchange="direct")
+    m = eng.replay(small_fixture["changelog"])
+    assert m["committed"]
+    got = eng.final_table(sort=True).to_pandas()[FINAL_COLUMNS]
+    want = oracle_replay(_read_all(small_fixture["changelog"]))
+    _assert_tables_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_replay_in_rounds_converges_identically(small_fixture, tmp_path):
     lake = str(tmp_path / "lake3")
     eng = CDCEngine(lake, num_partitions=8)
