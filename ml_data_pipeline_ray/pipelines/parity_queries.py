@@ -1,0 +1,361 @@
+"""Driver-gated parity queries for the reader/stateful operator family.
+
+Round-1 verdict: S5/S6/S7/S9/S10/S11, ST1, the fitted scalers and the
+timeseries gap-fill were proven only by pytest. Each query here exercises one
+of those operators end-to-end and is paired (in :mod:`.oracle_sql`, via
+``registry``) with an ANSI-SQL oracle over the SAME source tables, so the
+driver's rows+schema+value-hash gate covers them.
+
+Pattern for the roundtrip queries: derive a deterministic artifact (CSV /
+text / TFRecord / IPC / JSONL file set) from a testdata table, push it
+through the reader under test as a Ray pipeline, and produce output the
+oracle can recompute from the original table — any loss or corruption in
+the write→read path fails the value hash. Artifact generation is test
+scaffolding (driver-side, small); the operator under test is the
+distributed read path.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources import read_csv_typed, read_json_typed, read_text_lines
+from ..sources.arrow_ipc import read_arrow_ipc_dataset, write_arrow_ipc
+from ..sources.tfrecord import read_tfrecords, write_tfrecords
+from ..stages.encoders import MinMaxScaler, StandardScaler
+from ..stages.timeseries import regularize_per_key
+from ..state.dictionary import GlobalDictApplier, build_global_dictionary
+from .tpch import _haround, _round, _stab, _t
+
+#: rows per generated artifact file (small files => real file-parallelism)
+CHUNK = 100
+
+_BOOL_SYN = [("yes", "no"), ("y", "n"), ("t", "f"), ("1", "0"), ("true", "false")]
+
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir under /tmp."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"mdpr_parity_{tag}_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# -- S1/T9: typed CSV inference on a messy file ------------------------------
+
+def csv_inference_messy(sf_dir: str) -> pd.DataFrame:
+    """Schema inference (int64→float64→bool→string chain), boolean-synonym
+    parsing and comment-line skipping, on a deliberately messy CSV derived
+    from ``events``. The oracle recomputes the aggregate from the clean
+    table, so any mis-typed or mis-skipped line changes the hash."""
+    ev = pq.read_table(_t(sf_dir, "events"),
+                       columns=["event_id", "event_type", "value"]
+                       ).sort_by("event_id")
+    d = _scratch("csv", sf_dir)
+    path = os.path.join(d, "messy.csv")
+    eid = ev["event_id"].to_numpy()
+    val = ev["value"].to_numpy()
+    etype = ev["event_type"].to_numpy(zero_copy_only=False)
+    is_p = etype == "purchase"
+    syn = [(_BOOL_SYN[i % 5][0] if p else _BOOL_SYN[i % 5][1])
+           for i, p in zip(eid.tolist(), is_p.tolist())]
+    with open(path, "w") as f:
+        f.write("event_id,value,flag,label\n")
+        f.write("# generated test artifact; comment lines must be skipped\n")
+        for i in range(len(eid)):
+            if i % 97 == 0:
+                f.write(f"# interleaved comment {i}\n")
+            f.write(f"{eid[i]},{val[i]!r},{syn[i]},{etype[i]}\n")
+
+    ds = read_csv_typed(path, comment="#")
+    out = ds.aggregate(Count(alias_name="n_rows"),
+                       Sum("event_id", alias_name="sum_id"),
+                       Sum("value", alias_name="sum_value"),
+                       Sum("flag", alias_name="n_true"))
+    labels = len(ds.unique("label"))
+    df = pd.DataFrame([{"n_rows": int(out["n_rows"]),
+                        "sum_id": int(out["sum_id"]),
+                        "sum_value": float(out["sum_value"]),
+                        "n_true": int(out["n_true"]),
+                        "n_labels": int(labels)}])
+    return _round(_stab(df, {"sum_value": 6}), {"sum_value": 2})
+
+
+SQL_CSV_INFERENCE_MESSY = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       round(round(sum(value) * 1e6) / 1e6, 2) AS sum_value,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_labels
+FROM events
+"""
+
+
+# -- S7: text reader (trim / skip-empty / per-file line numbers) -------------
+
+def text_lines_docs(sf_dir: str) -> pd.DataFrame:
+    """Text reader semantics: each document's ``source`` is written as a
+    whitespace-padded line followed by an empty line, CHUNK records per file.
+    Reading with trim+skip_empty must yield per-file 1-based line numbers
+    with gaps (1, 3, 5, ...) — the oracle reconstructs them arithmetically."""
+    docs = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source"]).sort_by("doc_id")
+    src = docs["source"].to_pylist()
+    d = _scratch("text", sf_dir)
+    paths = []
+    for fi in range(0, len(src), CHUNK):
+        p = os.path.join(d, f"part-{fi // CHUNK:05d}.txt")
+        with open(p, "w") as f:
+            for s in src[fi:fi + CHUNK]:
+                f.write(f"  {s}  \n\n")
+        paths.append(p)
+
+    ds = read_text_lines(paths, trim=True, skip_empty=True)
+    out = (ds.groupby("text")
+           .aggregate(Count(alias_name="n"),
+                      Sum("line_number", alias_name="sum_line"))).to_pandas()
+    out = out.rename(columns={"text": "source"})
+    out["sum_line"] = out["sum_line"].astype(np.int64)
+    return out[["source", "n", "sum_line"]]
+
+
+SQL_TEXT_LINES_DOCS = f"""
+WITH d AS (
+  SELECT source, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(2 * (rn % {CHUNK}) + 1) AS BIGINT) AS sum_line
+FROM d GROUP BY source
+"""
+
+
+# -- S6: TFRecord framing roundtrip ------------------------------------------
+
+def tfrecord_roundtrip_docs(sf_dir: str) -> pd.DataFrame:
+    """Documents' text → TFRecord files (CHUNK records each) → file-parallel
+    framed read. Output exposes the framing itself (per-file byte offsets and
+    lengths) plus the decoded payload; the oracle recomputes offsets from
+    octet lengths with a window sum, so a single mis-framed byte fails."""
+    docs = pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).sort_by("doc_id")
+    texts = docs["text"].to_pylist()
+    d = _scratch("tfrec", sf_dir)
+    paths = []
+    for fi in range(0, len(texts), CHUNK):
+        p = os.path.join(d, f"part-{fi // CHUNK:05d}.tfrecord")
+        write_tfrecords([t.encode() for t in texts[fi:fi + CHUNK]], p)
+        paths.append(p)
+
+    ds = read_tfrecords(paths, include_path=True)
+
+    def decode(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["path"], r"part-(?P<i>\d+)\.tfrecord")
+        fid = pc.struct_field(m, "i").cast(pa.int64())
+        return pa.table({"file_id": fid,
+                         "offset": b["offset"],
+                         "length": b["length"],
+                         "text": b["data"].cast(pa.string())})
+
+    return ds.map_batches(decode, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+
+
+SQL_TFRECORD_ROUNDTRIP_DOCS = f"""
+WITH d AS (
+  SELECT text, octet_length(encode(text)) AS len,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents),
+f AS (
+  SELECT text, len, CAST(rn // {CHUNK} AS BIGINT) AS file_id,
+         rn % {CHUNK} AS pos
+  FROM d)
+SELECT file_id,
+       CAST(COALESCE(SUM(len + 16) OVER (
+             PARTITION BY file_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS "offset",
+       CAST(len AS INTEGER) AS length, text
+FROM f
+"""
+
+
+# -- S5: Arrow IPC roundtrip -------------------------------------------------
+
+def arrow_ipc_roundtrip_nation(sf_dir: str) -> pd.DataFrame:
+    """nation → two compressed IPC files → file-parallel mmap read; returns
+    the full table (the oracle is the original — byte-exact roundtrip)."""
+    t = pq.read_table(_t(sf_dir, "nation")).sort_by("n_nationkey")
+    d = _scratch("ipc", sf_dir)
+    half = t.num_rows // 2
+    p1, p2 = os.path.join(d, "a.arrow"), os.path.join(d, "b.arrow")
+    write_arrow_ipc(t.slice(0, half), p1, compression="zstd")
+    write_arrow_ipc(t.slice(half), p2, compression="lz4")
+    return read_arrow_ipc_dataset([p1, p2]).to_pandas()
+
+
+SQL_ARROW_IPC_ROUNDTRIP_NATION = "SELECT * FROM nation"
+
+
+# -- S11: JSONL write → read roundtrip ---------------------------------------
+
+def jsonl_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """events (integer/string columns) → ``Dataset.write_json`` (JSONL part
+    files) → :func:`read_json_typed` → aggregate. Integer-exact, so the JSON
+    text roundtrip must be lossless."""
+    d = _scratch("jsonl", sf_dir)
+    for old in _glob.glob(os.path.join(d, "*.json")):
+        os.unlink(old)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type"])
+    ds.write_json(d)
+    back = read_json_typed(sorted(_glob.glob(os.path.join(d, "*.json"))))
+    out = (back.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("event_id", alias_name="sum_id"),
+                      Sum("user_id", alias_name="sum_user"))).to_pandas()
+    for c in ("n", "sum_id", "sum_user"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "n", "sum_id", "sum_user"]]
+
+
+SQL_JSONL_ROUNDTRIP_EVENTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+FROM events GROUP BY event_type
+"""
+
+
+# -- S9: per-key timeseries gap fill -----------------------------------------
+
+def timeseries_fill_hourly(sf_dir: str) -> pd.DataFrame:
+    """Per-user hourly series with forward-filled gaps: events are bucketed
+    to hours (sum of value, decimal-stabilized), then
+    :func:`regularize_per_key` regularizes each user's series onto the 1h
+    grid with forward fill — the oracle rebuilds the grid with
+    ``generate_series`` + ``last_value IGNORE NULLS``."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                         "value": b["value"]})
+
+    agg = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["user_id", "hour"])
+           .aggregate(Sum("value", alias_name="sv")))
+    # stabilize the per-bucket sums BEFORE the fill so forward-filled copies
+    # carry the exact decimal the oracle computes
+    agg = agg.map_batches(lambda df: _stab(df, {"sv": 2}), batch_format="pandas")
+    filled = regularize_per_key(agg, key="user_id", ts_col="hour",
+                                value_cols=["sv"], freq="1h", method="forward")
+    out = filled.to_pandas()
+    out = _round(out, {"sv": 2})
+    out = out.rename(columns={"sv": "value_filled"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out[["user_id", "hour", "value_filled"]]
+
+
+SQL_TIMESERIES_FILL_HOURLY = """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(sum(value) * 1e2) / 1e2 AS sv
+  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM agg GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.hour, a.sv
+  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.hour = a.hour)
+SELECT user_id, hour,
+       round(last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled
+FROM j
+"""
+
+
+# -- T11 numeric family: fitted scaler moments -------------------------------
+
+def scaler_moments_lineitem(sf_dir: str) -> pd.DataFrame:
+    """StandardScaler + MinMaxScaler distributed fits over three lineitem
+    columns; the published moments are the fitted state. Columns are on a
+    2-decimal grid, so stabilized sums make mean/std bit-identical to the
+    SQL recomputation (same formula both sides)."""
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+    std = StandardScaler(cols, stabilize_decimals=2).fit(ds)
+    mm = MinMaxScaler(cols).fit(ds)
+    rows = []
+    for c in cols:
+        mean, sd = std.stats[c]
+        lo, hi = mm.ranges[c]
+        rows.append({"col": c,
+                     "mean": float(_haround(mean, 6)),
+                     "std": float(_haround(sd, 6)),
+                     "min": float(_haround(lo, 2)),
+                     "max": float(_haround(hi, 2))})
+    return pd.DataFrame(rows)
+
+
+SQL_SCALER_MOMENTS_LINEITEM = """
+WITH m AS (
+  SELECT unnest(['l_quantity', 'l_discount', 'l_tax']) AS col,
+         unnest([round(sum(l_quantity) * 1e2) / 1e2,
+                 round(sum(l_discount) * 1e2) / 1e2,
+                 round(sum(l_tax) * 1e2) / 1e2]) AS s,
+         unnest([round(sum(l_quantity * l_quantity) * 1e4) / 1e4,
+                 round(sum(l_discount * l_discount) * 1e4) / 1e4,
+                 round(sum(l_tax * l_tax) * 1e4) / 1e4]) AS q,
+         unnest([min(l_quantity), min(l_discount), min(l_tax)]) AS lo,
+         unnest([max(l_quantity), max(l_discount), max(l_tax)]) AS hi,
+         count(*) AS n
+  FROM lineitem)
+SELECT col, round(s / n, 6) AS mean,
+       round(sqrt(q / n - (s / n) * (s / n)), 6) AS std,
+       round(lo, 2) AS min, round(hi, 2) AS max
+FROM m
+"""
+
+
+# -- ST1: global dictionary encode -------------------------------------------
+
+def dict_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Global string dictionary: distributed distinct → deterministic sorted
+    id assignment → broadcast applier. Oracle: ``dense_rank() - 1`` over the
+    sorted distinct values."""
+    import ray
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    mapping = build_global_dictionary(ds, "source")
+    ref = ray.put(mapping)
+    enc = ds.map_batches(GlobalDictApplier(ref, "source"),
+                         batch_format="pyarrow")
+    out = (enc.groupby(["source", "source_id"])
+           .aggregate(Count(alias_name="n"))).to_pandas()
+    out["source_id"] = out["source_id"].astype(np.int64)
+    return out[["source", "source_id", "n"]]
+
+
+SQL_DICT_ENCODE_DOCS = """
+WITH ids AS (
+  SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS source_id
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT d.source, CAST(i.source_id AS BIGINT) AS source_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN ids i ON d.source = i.source
+GROUP BY d.source, i.source_id
+"""

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from . import cdc_queries as C
+from . import parity_queries as P
 from . import text_queries as X
 from . import tpch as Q
 from . import oracle_sql as S
@@ -63,6 +64,15 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embedding": X.neardup_embedding,
         "ann_topk": X.ann_topk,
         "ann_ivf": X.ann_ivf,
+        # reader/stateful parity family (round-2: driver-gated)
+        "csv_inference_messy": P.csv_inference_messy,
+        "text_lines_docs": P.text_lines_docs,
+        "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
+        "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
+        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
+        "timeseries_fill_hourly": P.timeseries_fill_hourly,
+        "scaler_moments_lineitem": P.scaler_moments_lineitem,
+        "dict_encode_docs": P.dict_encode_docs,
     }
 
 
@@ -100,6 +110,14 @@ def build_oracle_sql() -> dict[str, str]:
         "neardup_ngram": S.sql_neardup_ngram(),
         "neardup_embedding": S.SQL_NEARDUP_EMBEDDING,
         "ann_topk": S.SQL_ANN_TOPK,
+        "csv_inference_messy": P.SQL_CSV_INFERENCE_MESSY,
+        "text_lines_docs": P.SQL_TEXT_LINES_DOCS,
+        "tfrecord_roundtrip_docs": P.SQL_TFRECORD_ROUNDTRIP_DOCS,
+        "arrow_ipc_roundtrip_nation": P.SQL_ARROW_IPC_ROUNDTRIP_NATION,
+        "jsonl_roundtrip_events": P.SQL_JSONL_ROUNDTRIP_EVENTS,
+        "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
+        "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
+        "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -1,1 +1,2 @@
-from .readers import read_csv_typed, read_text_lines, detect_format, write_csv  # noqa: F401
+from .readers import (read_csv_typed, read_json_typed, read_text_lines,  # noqa: F401
+                      detect_format, from_paths, write_csv)

@@ -29,7 +29,18 @@ def read_arrow_ipc(path: str, memory_map: bool = True) -> pa.Table:
 
 
 def read_arrow_ipc_dataset(paths: str | list[str]) -> rd.Dataset:
-    """IPC file(s) → Dataset (one block per file)."""
+    """IPC file(s) → Dataset, file-parallel: each file is opened (mmap,
+    zero-copy into the task heap) inside its own Ray task rather than
+    materialized on the driver."""
+    from .readers import from_paths
+
     if isinstance(paths, str):
         paths = [paths]
-    return rd.from_arrow([read_arrow_ipc(p) for p in paths])
+
+    def read_batch(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [read_arrow_ipc(p) for p in b.column("path").to_pylist()],
+            promote_options="permissive")
+
+    return from_paths(paths).map_batches(read_batch, batch_format="pyarrow",
+                                         batch_size=None)

@@ -7,8 +7,11 @@ reader surface (SURVEY.md §2.1/§2.2).
   ``ml-data/ml-data-readers/src/csv/reader.rs:21-61``).
 - S7 text reader → :func:`read_text_lines` ((line_number, text) schema with
   BOM strip / trim / skip-empty, ``ml-data/ml-data-readers/src/text.rs:347-513``).
+  File-parallel: each file decodes inside a Ray task, not on the driver.
 - S10 format autodetect (extension + magic bytes PAR1/ARROW1/gzip,
   ``common.rs:70-148``) → :func:`detect_format`.
+- S11 JSON/JSONL (declared-only in the reference,
+  ``ml-data-readers/src/lib.rs:17-21``) → :func:`read_json_typed`.
 - K1 CSV writer → :func:`write_csv` (``csv/writer.rs:59-222`` semantics via
   ``Dataset.write_csv`` / Arrow CSV).
 
@@ -19,14 +22,23 @@ Row-group-skipping parquet pushdown (S4/P3) is NOT reimplemented — pass a
 from __future__ import annotations
 
 import csv as _csv
-import io
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 import ray.data as rd
 
-from ..stages.transforms import infer_schema
+from ..stages.transforms import infer_schema, parse_bool_synonyms
+
+
+def from_paths(paths: list[str]) -> rd.Dataset:
+    """A Dataset of file paths, one block per file — the fan-out point for
+    file-parallel custom readers (each downstream ``map_batches`` task reads
+    its own file(s); nothing streams through the driver)."""
+    return rd.from_items([{"path": p} for p in paths],
+                         override_num_blocks=max(1, len(paths)))
 
 MAGIC = [
     (b"PAR1", "parquet"),
@@ -92,6 +104,37 @@ def read_csv_typed(paths: str | list[str], *, delimiter: str = ",",
 
     read_options = pacsv.ReadOptions(
         column_names=None if has_header else schema.names)
+
+    if comment is not None:
+        # Arrow CSV has no comment support: read every column as string
+        # (comment lines with a mismatched field count are skipped by the
+        # invalid-row handler), drop remaining comment rows with a vectorized
+        # prefix filter, then cast to the inferred/declared schema. Fully
+        # distributed — no driver-side preprocessing.
+        parse_options = pacsv.ParseOptions(
+            delimiter=delimiter, invalid_row_handler=lambda row: "skip")
+        str_convert = pacsv.ConvertOptions(
+            column_types={n: pa.string() for n in schema.names})
+        ds = rd.read_csv(paths, read_options=read_options,
+                         parse_options=parse_options,
+                         convert_options=str_convert)
+        first_col = schema.names[0]
+
+        def strip_and_cast(b: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.starts_with(
+                pc.fill_null(b[first_col], ""), comment))
+            b = b.filter(mask)
+            for f in schema:
+                pos = b.column_names.index(f.name)
+                if f.type == pa.bool_():
+                    b = parse_bool_synonyms(b, f.name)
+                elif f.type != pa.string():
+                    b = b.set_column(pos, f.name, b[f.name].cast(f.type))
+            return b
+
+        return ds.map_batches(strip_and_cast, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
     parse_options = pacsv.ParseOptions(delimiter=delimiter)
     convert_options = pacsv.ConvertOptions(
         column_types={f.name: f.type for f in schema},
@@ -102,31 +145,65 @@ def read_csv_typed(paths: str | list[str], *, delimiter: str = ",",
                        convert_options=convert_options)
 
 
-def read_text_lines(path: str, *, strip_bom: bool = True, trim: bool = False,
-                    skip_empty: bool = False) -> rd.Dataset:
-    """Line-oriented text → (line_number: int64, text: string).
-
-    Line numbers are 1-based per file (reference ``text.rs:360-363``); since
-    global line numbering is inherently sequential, the file is split locally
-    and handed to Ray as blocks (at scale, prefer ``ray.data.read_text``
-    without line numbers, which shards by byte range)."""
+def _read_text_file_table(path: str, strip_bom: bool, trim: bool,
+                          skip_empty: bool) -> pa.Table:
+    """One text file → (line_number, text) Arrow table, vectorized: one
+    decode + splitlines (C level), then Arrow kernels for trim/skip. Line
+    numbers are 1-based original positions per file (reference
+    ``text.rs:360-363``), so skipped empties leave gaps."""
     with open(path, "rb") as f:
         data = f.read()
     if strip_bom and data.startswith(b"\xef\xbb\xbf"):
         data = data[3:]
-    text = data.decode("utf-8")
-    lines = io.StringIO(text).read().splitlines()
-    nums, out = [], []
-    for i, line in enumerate(lines, start=1):
-        if trim:
-            line = line.strip()
-        if skip_empty and line == "":
-            continue
-        nums.append(i)
-        out.append(line)
-    tbl = pa.table({"line_number": pa.array(nums, pa.int64()),
-                    "text": pa.array(out, pa.string())})
-    return rd.from_arrow(tbl)
+    lines = data.decode("utf-8").splitlines()
+    arr = pa.array(lines, pa.string())
+    nums = pa.array(np.arange(1, len(lines) + 1, dtype=np.int64))
+    if trim:
+        arr = pc.utf8_trim_whitespace(arr)
+    tbl = pa.table({"line_number": nums, "text": arr})
+    if skip_empty:
+        tbl = tbl.filter(pc.greater(pc.utf8_length(arr), 0))
+    return tbl
+
+
+def read_text_lines(paths: str | list[str], *, strip_bom: bool = True,
+                    trim: bool = False, skip_empty: bool = False) -> rd.Dataset:
+    """Line-oriented text file(s) → (line_number: int64, text: string).
+
+    File-parallel: each file is decoded inside its own Ray task (the file is
+    the parallelism unit because line numbers are per-file sequential —
+    reference ``text.rs:347-513``). At scale with many files this saturates
+    the cluster; for one giant file without line numbers, prefer
+    ``ray.data.read_text`` which shards by byte range."""
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def read_batch(b: pa.Table) -> pa.Table:
+        tables = [_read_text_file_table(p, strip_bom, trim, skip_empty)
+                  for p in b.column("path").to_pylist()]
+        return pa.concat_tables(tables)
+
+    return from_paths(paths).map_batches(read_batch, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def read_json_typed(paths: str | list[str], *,
+                    schema: pa.Schema | None = None) -> rd.Dataset:
+    """JSON-lines file(s) → typed Dataset (S11 — declared-only in the
+    reference: feature flags + error variants,
+    ``ml-data/ml-data-readers/src/lib.rs:17-21``, ``error.rs:26-44``).
+
+    ``ray.data.read_json`` shards by file and infers types via Arrow JSON;
+    pass ``schema`` to declare types explicitly (columns are cast/aligned
+    per batch, adding typed nulls for missing keys)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = rd.read_json(paths)
+    if schema is not None:
+        from ..stages.transforms import align_to_schema
+        ds = ds.map_batches(lambda b: align_to_schema(b, schema),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 def write_csv(ds: rd.Dataset, out_dir: str, **kw) -> None:

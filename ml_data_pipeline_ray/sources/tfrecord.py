@@ -8,8 +8,12 @@ Record framing per the TFRecord spec (and the reference's implementation,
 
 The reference's CRC32 is a stub returning 0 (``binary.rs:385-389``); we
 implement the real masked CRC32C when the ``crc32c`` lib is available and
-otherwise fall back to zlib's CRC32 with the TFRecord mask (flagged in the
-output so readers can tell), validating length consistency either way.
+otherwise fall back to zlib's CRC32 with the TFRecord mask. The active
+implementation is surfaced as ``CRC_IMPL``, attached to every read table's
+schema metadata (``crc_impl`` key), warned about on write, and named in CRC
+verification errors — fallback-written files are internally consistent but
+NOT spec-valid TFRecords, and genuine TFRecord files fail fallback
+verification (read them with ``verify_crc=False``).
 
 Output schema mirrors the reference (``binary.rs:136-355``):
 ``(data: binary, offset: int64, length: int32)``.
@@ -18,6 +22,7 @@ Output schema mirrors the reference (``binary.rs:136-355``):
 from __future__ import annotations
 
 import struct
+import warnings
 import zlib
 
 import pyarrow as pa
@@ -44,6 +49,11 @@ def masked_crc(data: bytes) -> int:
 
 
 def write_tfrecords(records: list[bytes], path: str) -> None:
+    if CRC_IMPL != "crc32c":
+        warnings.warn(
+            f"writing TFRecords with the {CRC_IMPL} fallback — the file is "
+            "internally consistent for this reader but not a spec-valid "
+            "TFRecord (install crc32c for spec CRCs)", stacklevel=2)
     with open(path, "wb") as f:
         for payload in records:
             length = struct.pack("<Q", len(payload))
@@ -67,13 +77,19 @@ def read_tfrecord_file(path: str, verify_crc: bool = True) -> pa.Table:
             (length,) = struct.unpack("<Q", head)
             (len_crc,) = struct.unpack("<I", f.read(4))
             if verify_crc and len_crc != masked_crc(head):
-                raise ValueError(f"length CRC mismatch at offset {offset}")
+                raise ValueError(
+                    f"length CRC mismatch at offset {offset} "
+                    f"(verifier impl: {CRC_IMPL}; a genuine TFRecord file "
+                    "cannot be verified with the zlib fallback)")
             payload = f.read(length)
             if len(payload) < length:
                 raise ValueError(f"truncated record at offset {offset}")
             (data_crc,) = struct.unpack("<I", f.read(4))
             if verify_crc and data_crc != masked_crc(payload):
-                raise ValueError(f"payload CRC mismatch at offset {offset}")
+                raise ValueError(
+                    f"payload CRC mismatch at offset {offset} "
+                    f"(verifier impl: {CRC_IMPL}; a genuine TFRecord file "
+                    "cannot be verified with the zlib fallback)")
             datas.append(payload)
             offsets.append(offset)
             lengths.append(length)
@@ -82,13 +98,29 @@ def read_tfrecord_file(path: str, verify_crc: bool = True) -> pa.Table:
         "data": pa.array(datas, type=pa.binary()),
         "offset": pa.array(offsets, type=pa.int64()),
         "length": pa.array(lengths, type=pa.int32()),
-    })
+    }).replace_schema_metadata({"crc_impl": CRC_IMPL})
 
 
-def read_tfrecords(paths: str | list[str], verify_crc: bool = True) -> rd.Dataset:
-    """TFRecord file(s) → Dataset. Files are the parallelism unit (framing is
-    sequential within a file — same constraint as the reference)."""
+def read_tfrecords(paths: str | list[str], verify_crc: bool = True,
+                   include_path: bool = False) -> rd.Dataset:
+    """TFRecord file(s) → Dataset. File-parallel: framing is sequential
+    WITHIN a file (same constraint as the reference), so each file is read
+    inside its own Ray task and files fan out across the cluster. Set
+    ``include_path`` to append the source file path per record."""
+    from .readers import from_paths
+
     if isinstance(paths, str):
         paths = [paths]
-    tables = [read_tfrecord_file(p, verify_crc) for p in paths]
-    return rd.from_arrow(pa.concat_tables(tables))
+
+    def read_batch(b: pa.Table) -> pa.Table:
+        tables = []
+        for p in b.column("path").to_pylist():
+            t = read_tfrecord_file(p, verify_crc)
+            if include_path:
+                t = t.append_column(
+                    "path", pa.array([p] * t.num_rows, pa.string()))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return from_paths(paths).map_batches(read_batch, batch_format="pyarrow",
+                                         batch_size=None)

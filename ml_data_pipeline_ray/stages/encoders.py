@@ -51,10 +51,17 @@ class OneHotEncoder:
 
 class StandardScaler:
     """(x - mean) / std per column; moments from one distributed aggregate
-    pass (sum, sum of squares, count — mergeable, no full materialization)."""
+    pass (sum, sum of squares, count — mergeable, no full materialization).
 
-    def __init__(self, cols: list[str]):
+    ``stabilize_decimals=d`` declares that the input values lie on a
+    d-decimal grid: the fitted sums are snapped back onto that grid
+    (``round(sum * 10^d) / 10^d``; squares on the 2d grid), which removes
+    partial-sum-ordering ulp noise and makes the fit bit-reproducible across
+    parallelism levels and engines."""
+
+    def __init__(self, cols: list[str], stabilize_decimals: int | None = None):
         self.cols = cols
+        self.stabilize_decimals = stabilize_decimals
         self.stats: dict[str, tuple[float, float]] | None = None
 
     def fit(self, ds: rd.Dataset) -> "StandardScaler":
@@ -73,8 +80,14 @@ class StandardScaler:
         n = row["n"]
         self.stats = {}
         for c in self.cols:
-            mean = row[f"s_{c}"] / n
-            var = max(row[f"q_{c}"] / n - mean * mean, 0.0)
+            s, q = row[f"s_{c}"], row[f"q_{c}"]
+            if self.stabilize_decimals is not None:
+                g1 = 10.0 ** self.stabilize_decimals
+                g2 = 10.0 ** (2 * self.stabilize_decimals)
+                s = np.round(s * g1) / g1
+                q = np.round(q * g2) / g2
+            mean = s / n
+            var = max(q / n - mean * mean, 0.0)
             self.stats[c] = (mean, float(np.sqrt(var)) or 1.0)
         return self
 

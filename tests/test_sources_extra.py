@@ -62,6 +62,53 @@ def test_arrow_ipc_roundtrip(tmp_path):
     assert read_arrow_ipc_dataset(p).count() == 3
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_csv_comment_lines_are_skipped(tmp_path):
+    from ml_data_pipeline_ray.sources import read_csv_typed
+
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("a,b,flag\n1,x,yes\n# full comment line\n2,y,no\n"
+                "#short\n3,z,t\n")
+    ds = read_csv_typed(p, comment="#")
+    df = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert df["a"].tolist() == [1, 2, 3]
+    assert df["b"].tolist() == ["x", "y", "z"]
+    assert df["flag"].tolist() == [True, False, True]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_json_typed(tmp_path):
+    from ml_data_pipeline_ray.sources import read_json_typed
+
+    p = str(tmp_path / "d.jsonl")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": 3}\n')
+    df = read_json_typed(p).to_pandas().sort_values("a").reset_index(drop=True)
+    assert df["a"].tolist() == [1, 2, 3]
+    assert df["b"].tolist()[:2] == ["x", "y"]
+    # declared schema: widen + null-fill a missing column
+    schema = pa.schema([("a", pa.float64()), ("b", pa.string()),
+                        ("c", pa.int64())])
+    df2 = read_json_typed(p, schema=schema).to_pandas()
+    assert df2["a"].dtype == np.float64 and df2["c"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_text_lines_multifile(tmp_path):
+    from ml_data_pipeline_ray.sources import read_text_lines
+
+    p1, p2 = str(tmp_path / "t1.txt"), str(tmp_path / "t2.txt")
+    open(p1, "wb").write(b"\xef\xbb\xbf" + "alpha\n  beta  \n\ngamma\n".encode())
+    open(p2, "w").write("delta\n")
+    ds = read_text_lines([p1, p2], trim=True, skip_empty=True)
+    df = ds.to_pandas()
+    # per-file 1-based numbering with gaps for skipped empties
+    assert sorted(df["text"]) == ["alpha", "beta", "delta", "gamma"]
+    assert df.loc[df.text == "gamma", "line_number"].iloc[0] == 4
+    assert df.loc[df.text == "delta", "line_number"].iloc[0] == 1
+
+
 def test_parse_frequency():
     assert parse_frequency("5min") == 5 * 60 * 1_000_000_000
     assert parse_frequency("1h") == 3_600 * 1_000_000_000
