@@ -126,24 +126,34 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
     orders = broadcast_semi_join(orders, keys, on=["o_custkey"])
-    o_small = pa.Table.from_pandas(orders.to_pandas(), preserve_index=False)
+    # fact-fact join stays distributed: the semi-joined orders stream is
+    # NEVER materialized on the driver (round-1 anti-pattern) — both sides
+    # shuffle once by hash bucket and join with the Arrow kernel
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+                   .rename_columns(["l_orderkey", "o_orderdate",
+                                    "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1999-01-01")))
-    li = broadcast_join(
-        li, o_small.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
-              .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
-        on=["l_orderkey"])
+    li = li.map_batches(lambda t: t.drop_columns(["l_shipdate"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on=["l_orderkey"])
 
-    def rev(b: pd.DataFrame) -> pd.DataFrame:
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        return b[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    def rev(b: pa.Table) -> pa.Table:
+        revenue = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "revenue": revenue})
 
     # group by the key alone (narrower sort); o_orderdate / o_orderpriority
     # are functionally dependent on l_orderkey, so Max() carries them exactly
-    agg = (li.map_batches(rev, batch_format="pandas")
+    agg = (joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("l_orderkey")
            .aggregate(Sum("revenue", alias_name="revenue"),
                       Max("o_orderdate", alias_name="o_orderdate"),
@@ -180,13 +190,14 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(lambda t: t.rename_columns(
         ["o_orderkey", "l_extendedprice", "l_discount"]), batch_format="pyarrow")
-    joined = hash_join(li, orders, on=["o_orderkey"], num_buckets=16)
+    joined = hash_join(li, orders, on=["o_orderkey"])
 
-    def rev(b: pd.DataFrame) -> pd.DataFrame:
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        return b[["n_name", "revenue"]]
+    def rev(b: pa.Table) -> pa.Table:
+        revenue = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"n_name": b["n_name"], "revenue": revenue})
 
-    out = (joined.map_batches(rev, batch_format="pandas")
+    out = (joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
            ).to_pandas()
     return _round(_stab(out, {"revenue": 4}), {"revenue": 2})

@@ -52,21 +52,39 @@ def _hash_cols(df_or_tbl, on: list[str]) -> np.ndarray:
     return h
 
 
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
+
+
 class _BroadcastJoiner:
-    """Per-batch pandas merge against the broadcast side. The instance holds
-    only the ObjectRef (tiny per-task pickle); the table resolves lazily from
-    the local object store on first use in each worker."""
+    """Per-batch zero-copy Arrow hash join against the broadcast side. The
+    instance holds only the ObjectRef (tiny per-task pickle); the table
+    resolves lazily from the local object store on first use in each worker
+    (zero-copy read — never re-shipped per batch)."""
 
     def __init__(self, small_ref, on: list[str], how: str):
         self._ref = small_ref
         self._small = None
         self.on, self.how = on, how
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self._small is None:
-            self._small = (ray.get(self._ref)
-                           if isinstance(self._ref, ray.ObjectRef) else self._ref)
-        return batch.merge(self._small, on=self.on, how=self.how)
+            small = (ray.get(self._ref)
+                     if isinstance(self._ref, ray.ObjectRef) else self._ref)
+            # Arrow's join requires exactly matching key types; snap the
+            # small side onto the probe stream's key types once per worker
+            for k in self.on:
+                bt = batch.schema.field(k).type
+                if small.schema.field(k).type != bt:
+                    small = small.set_column(
+                        small.column_names.index(k), k, small[k].cast(bt))
+            self._small = small
+            self._out_cols = (batch.column_names
+                              + [c for c in small.column_names
+                                 if c not in batch.column_names])
+        joined = batch.join(self._small, keys=self.on,
+                            join_type=_ARROW_JOIN_TYPE[self.how])
+        return joined.select([c for c in self._out_cols
+                              if c in joined.column_names])
 
 
 def broadcast_join(ds: rd.Dataset, small: pd.DataFrame | pa.Table,
@@ -75,33 +93,51 @@ def broadcast_join(ds: rd.Dataset, small: pd.DataFrame | pa.Table,
     """Join a streaming Dataset against a small in-memory table: broadcast
     once via ``ray.put`` and resolved lazily from the local object store
     inside each task (never re-shipped per batch, no actor-pool startup).
-    No shuffle. Pass ``concurrency`` to switch to an actor pool when the
-    resolve cost itself matters (very large broadcast sides)."""
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
+    No shuffle; the probe side stays zero-copy Arrow end to end. Pass
+    ``concurrency`` to switch to an actor pool when the resolve cost itself
+    matters (very large broadcast sides)."""
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    small = small.combine_chunks()
     ref = ray.put(small)
     if concurrency:
         return ds.map_batches(_BroadcastJoiner,
                               fn_constructor_args=(ref, on, how),
-                              batch_format="pandas", concurrency=concurrency)
-    return ds.map_batches(_BroadcastJoiner(ref, on, how), batch_format="pandas")
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=concurrency)
+    return ds.map_batches(_BroadcastJoiner(ref, on, how),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 class _SemiFilter:
+    """Single-column keys filter with a zero-copy Arrow ``is_in`` kernel;
+    composite keys fall back to a pandas MultiIndex membership test."""
+
     def __init__(self, keys_ref, on: list[str], anti: bool):
         self._ref = keys_ref
         self.keys = None
         self.on, self.anti = on, anti
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.keys is None:
-            self.keys = (ray.get(self._ref)
-                         if isinstance(self._ref, ray.ObjectRef) else self._ref)
+    def _resolve(self):
+        self.keys = (ray.get(self._ref)
+                     if isinstance(self._ref, ray.ObjectRef) else self._ref)
         if len(self.on) == 1:
-            mask = batch[self.on[0]].isin(self.keys)
-        else:
-            idx = pd.MultiIndex.from_frame(batch[self.on])
-            mask = idx.isin(self.keys)
+            self._value_set = pa.array(sorted(self.keys))
+
+    def __call__(self, batch):
+        if self.keys is None:
+            self._resolve()
+        if isinstance(batch, pa.Table):
+            import pyarrow.compute as pc
+            vs = self._value_set
+            col = batch[self.on[0]]
+            if vs.type != col.type:
+                vs = vs.cast(col.type)
+            mask = pc.is_in(col, value_set=vs)
+            mask = pc.fill_null(mask, False)
+            return batch.filter(pc.invert(mask) if self.anti else mask)
+        idx = pd.MultiIndex.from_frame(batch[self.on])
+        mask = idx.isin(self.keys)
         return batch[~mask] if self.anti else batch[mask]
 
 
@@ -113,22 +149,33 @@ def broadcast_semi_join(ds: rd.Dataset, keys, on: list[str],
     if isinstance(keys, pd.DataFrame):
         keys = pd.MultiIndex.from_frame(keys[on]) if len(on) > 1 else set(keys[on[0]])
     ref = ray.put(keys)
-    return ds.map_batches(_SemiFilter(ref, on, anti), batch_format="pandas")
+    fmt = "pyarrow" if len(on) == 1 else "pandas"
+    return ds.map_batches(_SemiFilter(ref, on, anti), batch_format=fmt,
+                          zero_copy_batch=(fmt == "pyarrow"))
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               how: Literal["inner", "left"] = "inner",
-              num_buckets: int = 32,
+              num_buckets: int | None = None,
               suffixes: tuple[str, str] = ("", "_r")) -> rd.Dataset:
     """Partitioned (bucketed) hash join of two large Datasets.
 
     Both sides are tagged with ``bucket = hash(on) % num_buckets``, unioned
-    under a padded common schema, shuffled once by bucket, and merged with
-    pandas inside each bucket group. Partitioning assumption: all rows of a
-    join key land in one bucket (guaranteed by the hash); skew in a single
-    key cannot be split — salt by replicating the small side if needed.
+    under a padded common schema, shuffled once by bucket, and joined with
+    Arrow's hash-join kernel inside each bucket group (zero pandas
+    round-trips). Partitioning assumption: all rows of a join key land in
+    one bucket (guaranteed by the hash); skew in a single key cannot be
+    split — salt by replicating the small side if needed.
+
+    ``num_buckets`` defaults to ~3x the cluster CPU count (enough groups to
+    keep every core busy through the join stage without oversharding the
+    shuffle).
     """
     from .transforms import align_to_schema
+
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(16, 3 * cpus)
 
     lschema = _pa_schema(left)
     rschema = _pa_schema(right)
@@ -169,11 +216,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     lout = list(lschema.names)
     rout = [rrename.get(c, c) for c in rschema.names if c not in on]
 
-    def join_bucket(g: pa.Table) -> pd.DataFrame:
+    def join_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         side = g.column("_side")
-        lg = g.filter(pc.equal(side, 0)).select(lout).to_pandas()
-        rg = g.filter(pc.equal(side, 1)).select(on + rout).to_pandas()
-        return lg.merge(rg, on=on, how=how)
+        lg = g.filter(pc.equal(side, 0)).select(lout)
+        rg = g.filter(pc.equal(side, 1)).select(on + rout)
+        joined = lg.join(rg, keys=on, join_type=_ARROW_JOIN_TYPE[how])
+        out = lout + rout
+        return joined.select([c for c in out if c in joined.column_names])
 
     return both.groupby("_jb").map_groups(join_bucket, batch_format="pyarrow")
