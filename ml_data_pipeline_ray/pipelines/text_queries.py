@@ -13,9 +13,9 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..stages import text as T
-from ..stages.ann import brute_force_topk, cosine_pairs, ivf_topk
+from ..stages.ann import brute_force_topk, cosine_pairs_bucketed, ivf_topk
 from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
-                            shingle_hashes, simhash_bits, tokenize_offsets)
+                            simhash_candidate_pairs, verify_candidate_pairs)
 from .fixture_paths import fixture_paths, scale_for_sf_dir, transcripts_glob
 from .tpch import _round, _t
 
@@ -107,84 +107,52 @@ def _sample_ds(sf_dir: str, bound: str) -> rd.Dataset:
     return ds.map_batches(_rid_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _shingle_sets(sf_dir: str, bound: str) -> dict[str, frozenset]:
-    scale = scale_for_sf_dir(sf_dir)
-    tbl = pq.ParquetDataset(sorted(glob.glob(transcripts_glob(scale))),
-                            filters=pc.field("conv_id") <= bound).read(
-        columns=["conv_id", "turn_idx", "text"])
-    rid = pc.binary_join_element_wise(
-        tbl["conv_id"].combine_chunks(),
-        pc.cast(tbl["turn_idx"], pa.string()).combine_chunks(), ":")
-    th, counts = tokenize_offsets(tbl["text"])
-    sh, win = shingle_hashes(th, counts, k=3)
-    bounds = np.concatenate(([0], np.cumsum(win)))
-    rids = rid.to_pylist()
-    return {rids[i]: frozenset(sh[bounds[i]:bounds[i + 1]].tolist())
-            for i in range(len(rids))}
-
-
-def _verify_pairs(sets: dict[str, frozenset],
-                  pairs: list[tuple[str, str]]) -> pd.DataFrame:
-    out = []
-    for a, b in pairs:
-        sa, sb = sets[a], sets[b]
-        union = len(sa | sb)
-        if union and len(sa & sb) / union >= JACCARD_THRESHOLD:
-            out.append((a, b))
-    df = pd.DataFrame(out, columns=["id_a", "id_b"])
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-
-
 def neardup_minhash(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH candidates → exact-Jaccard verification (tau=0.8).
-    With 128 hashes / 32 bands the miss probability at tau is ~5e-8, so the
-    output equals the exact all-pairs oracle on this data."""
+    """MinHash+LSH candidates → DISTRIBUTED exact-Jaccard verification
+    (tau=0.8): candidate pairs broadcast, shingle sets co-located by ONE
+    groupby(pair) shuffle, verified inside map_groups — the corpus is never
+    read onto the driver. With 128 hashes / 32 bands the candidate-miss
+    probability at tau is ~5e-8, so the output equals the exact all-pairs
+    oracle on this data."""
     ds = _sample_ds(sf_dir, SAMPLE_MAX_MINHASH)
     cand = minhash_candidate_pairs(ds, id_col="rid")
-    sets = _shingle_sets(sf_dir, SAMPLE_MAX_MINHASH)
-    return _verify_pairs(sets, list(map(tuple, cand[["id_a", "id_b"]].to_numpy())))
+    return verify_candidate_pairs(ds, cand, id_col="rid",
+                                  threshold=JACCARD_THRESHOLD, k=3)
 
 
 def neardup_ngram(sf_dir: str) -> pd.DataFrame:
-    """Exact all-pairs word-3-gram Jaccard on a small sample (the
-    verification kernel, run exhaustively)."""
-    sets = _shingle_sets(sf_dir, SAMPLE_MAX_NGRAM)
-    rids = sorted(sets)
-    pairs = [(rids[i], rids[j]) for i in range(len(rids))
-             for j in range(i + 1, len(rids))]
-    return _verify_pairs(sets, pairs)
+    """Exact all-pairs word-3-gram Jaccard on a small sample: the candidate
+    list is every pair of ids (exhaustive — documented verification kernel),
+    but the Jaccard compute itself runs distributed."""
+    ds = _sample_ds(sf_dir, SAMPLE_MAX_NGRAM)
+    rids = sorted(ds.unique("rid"))
+    pairs = pd.DataFrame(
+        [(rids[i], rids[j]) for i in range(len(rids))
+         for j in range(i + 1, len(rids))], columns=["id_a", "id_b"])
+    return verify_candidate_pairs(ds, pairs, id_col="rid",
+                                  threshold=JACCARD_THRESHOLD, k=3)
 
 
 def neardup_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash Hamming-distance near-dup (rows-only check — the 64-bit
-    projection has no SQL equivalent)."""
-    scale = scale_for_sf_dir(sf_dir)
-    fixture_paths(scale)
-    tbl = pq.ParquetDataset(sorted(glob.glob(transcripts_glob(scale))),
-                            filters=pc.field("conv_id") <= SAMPLE_MAX_NGRAM
-                            ).read(columns=["conv_id", "turn_idx", "text"])
-    rid = pc.binary_join_element_wise(
-        tbl["conv_id"].combine_chunks(),
-        pc.cast(tbl["turn_idx"], pa.string()).combine_chunks(), ":").to_pylist()
-    sig = simhash_bits(tbl["text"])
-    n = len(rid)
-    a_idx, b_idx = np.triu_indices(n, k=1)
-    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
-    x = sig[a_idx] ^ sig[b_idx]
-    hd = lut[x.view(np.uint8).reshape(-1, 8)].sum(1)
-    keep = hd <= 8
-    df = pd.DataFrame({"id_a": np.array(rid, dtype=object)[a_idx[keep]],
-                       "id_b": np.array(rid, dtype=object)[b_idx[keep]],
-                       "hamming": hd[keep].astype(np.int64)})
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    """SimHash Hamming-distance near-dup via the distributed banding path
+    (9 bit-slice bands make banding EXACT for hd <= 8 — pigeonhole; see
+    ``SimHashBandStage``). Rows-only check — the 64-bit projection has no
+    SQL equivalent."""
+    ds = _sample_ds(sf_dir, SAMPLE_MAX_NGRAM)
+    return simhash_candidate_pairs(ds, id_col="rid", num_bands=9, max_hd=8)
 
 
 # -- embeddings -------------------------------------------------------------
 
 def neardup_embedding(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed embedding near-dup (the scale path): multi-probe bucket
+    assignment + one groupby(bucket) shuffle; no whole-dataset broadcast.
+    Probe width is sized so the result is exact on this corpus (asserted
+    against the all-pairs oracle in tests and by the SQL oracle here)."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    pairs = cosine_pairs(ds, threshold=COSINE_THRESHOLD)
+    pairs = cosine_pairs_bucketed(ds, threshold=COSINE_THRESHOLD,
+                                  n_centroids=16, nprobe=6)
     return pairs[["id_a", "id_b"]].reset_index(drop=True)
 
 

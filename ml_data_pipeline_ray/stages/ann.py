@@ -128,16 +128,109 @@ class CosinePairFinder:
 
 def cosine_pairs(ds: rd.Dataset, threshold: float, id_col: str = "vec_id",
                  emb_col: str = "embedding") -> pd.DataFrame:
-    """All unordered id pairs with cosine similarity >= threshold.
-
-    Sandbox/small-index variant: the index side is the dataset itself,
-    broadcast once. At 100 TB replace the broadcast with LSH/IVF bucketing
-    (add a bucket column to both sides, groupby bucket, compare within)."""
+    """All unordered id pairs with cosine similarity >= threshold —
+    **all-pairs oracle variant** (the index side is the whole dataset,
+    broadcast once). O(n²) compute and O(n) broadcast memory: use only as
+    the verification oracle for :func:`cosine_pairs_bucketed` in tests; the
+    scale path is the bucketed version."""
     tbl = _dataset_to_table(ds, [id_col, emb_col])
     ref = ray.put({"ids": tbl.column(id_col).to_numpy(zero_copy_only=False),
                    "matrix": _to_matrix(tbl.column(emb_col))})
     pairs = ds.map_batches(CosinePairFinder(ref, threshold, id_col, emb_col),
                            batch_format="pyarrow").to_pandas()
+    return (pairs.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _train_centroids(ds: rd.Dataset, id_col: str, emb_col: str,
+                     n_centroids: int, seed: int, sample_size: int,
+                     iters: int = 5) -> np.ndarray:
+    """Deterministic k-means-lite centroids on a seeded random sample (not
+    first-rows — a ``random_sample`` avoids ordering bias in the training
+    set). Returns unit-norm (C, d) centroids."""
+    total = ds.count()
+    if total > sample_size:
+        frac = min(1.0, (sample_size * 1.25) / total)
+        sample_ds = ds.random_sample(frac, seed=seed).limit(sample_size)
+    else:
+        sample_ds = ds
+    sample = _dataset_to_table(sample_ds, [id_col, emb_col])
+    sm = _normalize(_to_matrix(sample.column(emb_col)))
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(sm.shape[0], size=min(n_centroids, sm.shape[0]),
+                         replace=False)]
+    for _ in range(iters):
+        assign = (sm @ cent.T).argmax(1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = sm[mask].mean(0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class _ProbeAssigner:
+    """Append each vector's top-``nprobe`` centroid buckets: one output row
+    per (vector, probed bucket). Lazy object-store resolve per worker."""
+
+    def __init__(self, cent_ref, emb_col: str, nprobe: int):
+        self._ref = cent_ref
+        self.cent = None
+        self.emb_col, self.nprobe = emb_col, nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.cent is None:
+            self.cent = (ray.get(self._ref)
+                         if isinstance(self._ref, ray.ObjectRef) else self._ref)
+        m = _normalize(_to_matrix(batch.column(self.emb_col)))
+        sims = m @ self.cent.T
+        p = min(self.nprobe, sims.shape[1])
+        probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]     # (n, p)
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), p))
+        out = batch.take(idx)
+        return out.append_column(
+            "_bucket", pa.array(probes.reshape(-1).astype(np.int32)))
+
+
+def cosine_pairs_bucketed(ds: rd.Dataset, threshold: float,
+                          id_col: str = "vec_id", emb_col: str = "embedding",
+                          n_centroids: int = 16, nprobe: int = 4,
+                          seed: int = 42,
+                          sample_size: int = 4096) -> pd.DataFrame:
+    """All unordered id pairs with cosine >= threshold, **IVF-bucketed scale
+    path**: each vector is multi-probe-assigned to its ``nprobe`` nearest
+    centroid buckets inside ``map_batches``, ONE ``groupby(bucket)`` shuffle
+    co-locates candidates, and the all-pairs compare runs only within each
+    bucket (O(Σ bucket²) instead of O(n²); no whole-dataset broadcast).
+
+    A pair is found iff the two vectors share at least one probed bucket —
+    approximate by construction; with the default multi-probe width it is
+    empirically exact on the benchmark corpora (asserted against the
+    all-pairs oracle in tests). Partitioning assumption: bucket contents fit
+    one group (bound n_centroids ≈ n / desired_bucket_size)."""
+    cent = _train_centroids(ds, id_col, emb_col, n_centroids, seed, sample_size)
+    cent_ref = ray.put(cent)
+    probed = ds.map_batches(_ProbeAssigner(cent_ref, emb_col, nprobe),
+                            batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pa.Table) -> pd.DataFrame:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(g.column(emb_col)))
+        sims = m @ m.T
+        r, c = np.where(sims >= threshold)
+        a, b = ids[r], ids[c]
+        keep = a < b
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                             "sim": sims[r, c][keep]})
+
+    pairs = (probed.groupby("_bucket")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow")).to_pandas()
+    # multi-probe finds a pair once per shared bucket — dedupe (result set is
+    # small by construction: only above-threshold pairs)
+    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
     return (pairs.sort_values(["id_a", "id_b"], kind="mergesort")
             .reset_index(drop=True))
 
@@ -149,38 +242,21 @@ def ivf_topk(ds: rd.Dataset, query_ids: np.ndarray, query_matrix: np.ndarray,
     """IVF-bucketed approximate top-k (the scale path).
 
     Centroids are trained with a few deterministic k-means iterations on a
-    sample; every vector is assigned to its nearest centroid inside
-    ``map_batches``; each query scans only its ``nprobe`` nearest buckets.
-    Approximate by construction — verified against brute force for recall,
-    not equality (hence no SQL oracle; see tests).
+    seeded random sample; every vector is assigned to its nearest centroid
+    inside ``map_batches``; each query scans only its ``nprobe`` nearest
+    buckets. Approximate by construction — verified against brute force for
+    recall, not equality (hence no SQL oracle; see tests).
     """
-    sample = _dataset_to_table(ds.limit(sample_size), [id_col, emb_col])
-    sm = _normalize(_to_matrix(sample.column(emb_col)))
-    rng = np.random.default_rng(seed)
-    cent = sm[rng.choice(sm.shape[0], size=min(n_centroids, sm.shape[0]), replace=False)]
-    for _ in range(5):
-        assign = (sm @ cent.T).argmax(1)
-        for c in range(cent.shape[0]):
-            mask = assign == c
-            if mask.any():
-                v = sm[mask].mean(0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+    cent = _train_centroids(ds, id_col, emb_col, n_centroids, seed, sample_size)
     cent_ref = ray.put(cent)
 
     qm = _normalize(query_matrix)
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]     # (Q, nprobe)
 
-    class Assign:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(batch.column(emb_col)))
-            bucket = (m @ self.cent.T).argmax(1).astype(np.int32)
-            return batch.append_column("_bucket", pa.array(bucket))
-
-    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+    # stateless task-pool stage (no actor pool: nothing to amortize beyond
+    # the object-store resolve, and a task pool uses every free core)
+    assigned = ds.map_batches(_ProbeAssigner(cent_ref, emb_col, nprobe=1),
+                              batch_format="pyarrow")
 
     # queries grouped by probed bucket: query q participates in buckets probe[q]
     out = []

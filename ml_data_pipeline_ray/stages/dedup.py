@@ -225,6 +225,100 @@ def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# distributed exact-Jaccard verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+class _ShingleEmitter:
+    """For rows whose id participates in any candidate pair, emit one
+    ``(pair_idx, side, id, sh: list<uint64>)`` row per membership. Only
+    candidate rows' shingle sets ever leave the batch — the full sample is
+    never read onto the driver."""
+
+    def __init__(self, members_ref, id_col: str, text_col: str, k: int):
+        self._ref = members_ref
+        self.members = None
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        if self.members is None:
+            self.members = (ray.get(self._ref)
+                            if not isinstance(self._ref, dict) else self._ref)
+        ids = batch.column(self.id_col).to_pylist()
+        rows = [(i, pidx, side) for i, x in enumerate(ids)
+                for (pidx, side) in self.members.get(x, ())]
+        if not rows:
+            return pa.table({"pair_idx": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+                             "sh": pa.array([], pa.list_(pa.uint64()))})
+        sel = pa.array([r[0] for r in rows], pa.int64())
+        sub = batch.take(sel)
+        th, counts = tokenize_offsets(sub.column(self.text_col))
+        sh, win = shingle_hashes(th, counts, self.k)
+        offsets = np.concatenate(([0], np.cumsum(win))).astype(np.int32)
+        sh_list = pa.ListArray.from_arrays(pa.array(offsets),
+                                           pa.array(sh, pa.uint64()))
+        return pa.table({"pair_idx": pa.array([r[1] for r in rows], pa.int64()),
+                         "side": pa.array([r[2] for r in rows], pa.int8()),
+                         self.id_col: sub.column(self.id_col),
+                         "sh": sh_list})
+
+
+def verify_candidate_pairs(ds: rd.Dataset, candidates: pd.DataFrame,
+                           id_col: str, text_col: str = "text",
+                           threshold: float = 0.8, k: int = 3) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification: broadcast the candidate pair
+    list (small by construction), co-locate each pair's two shingle sets with
+    ONE ``groupby(pair_idx)`` shuffle, and verify inside ``map_groups``.
+    Returns the pairs with word-``k``-gram Jaccard >= threshold.
+
+    Scale shape: shuffle volume = Σ per-candidate shingle sets (only suspects
+    move), never the corpus; the driver holds only the candidate list and the
+    verified result."""
+    if len(candidates) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    import ray
+
+    members: dict = {}
+    for pidx, (a, b) in enumerate(zip(candidates["id_a"], candidates["id_b"])):
+        members.setdefault(a, []).append((pidx, 0))
+        members.setdefault(b, []).append((pidx, 1))
+    ref = ray.put(members)
+
+    emitted = ds.map_batches(_ShingleEmitter(ref, id_col, text_col, k),
+                             batch_format="pyarrow")
+
+    def check(g: pa.Table) -> pd.DataFrame:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lists = g.column("sh")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        ia = np.where(side == 0)[0]
+        ib = np.where(side == 1)[0]
+        if ia.size == 0 or ib.size == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        sa = np.unique(np.asarray(lists[int(ia[0])].as_py(), dtype=np.uint64))
+        sb = np.unique(np.asarray(lists[int(ib[0])].as_py(), dtype=np.uint64))
+        union = np.union1d(sa, sb).size
+        inter = np.intersect1d(sa, sb).size
+        if union and inter / union >= threshold:
+            ids = g.column(id_col).to_pylist()
+            return pd.DataFrame({"id_a": [ids[int(ia[0])]],
+                                 "id_b": [ids[int(ib[0])]]})
+        return pd.DataFrame({"id_a": [], "id_b": []})
+
+    out = (emitted.groupby("pair_idx")
+           .map_groups(check, batch_format="pyarrow")).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -252,6 +346,76 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash",
                                pa.array(simhash_bits(batch.column(text_col)),
                                         type=pa.uint64()))
+
+
+class SimHashBandStage:
+    """Text → ``(id, band, band_hash, sig)`` LSH rows from bit-slices of the
+    64-bit SimHash. With ``num_bands`` bands, any pair at Hamming distance
+    < num_bands shares at least one intact band (pigeonhole), so banding +
+    per-bucket verification is EXACT for ``max_hd <= num_bands - 1``.
+    Bits-per-band trades that recall bound against bucket size — at corpus
+    scale use a smaller ``max_hd`` with fewer, wider bands."""
+
+    def __init__(self, id_col: str, text_col: str = "text", num_bands: int = 9):
+        self.id_col, self.text_col = id_col, text_col
+        self.bounds = np.linspace(0, 64, num_bands + 1).astype(np.uint64)
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = simhash_bits(batch.column(self.text_col))
+        n = sig.size
+        bh = np.empty((n, self.num_bands), dtype=np.uint64)
+        for i in range(self.num_bands):
+            lo, hi = self.bounds[i], self.bounds[i + 1]
+            width = np.uint64(hi - lo)
+            mask = (np.uint64(1) << width) - np.uint64(1)
+            bh[:, i] = (sig >> lo) & mask
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.num_bands)),
+            "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.uint64()),
+            "sig": pa.array(np.repeat(sig, self.num_bands), type=pa.uint64()),
+        })
+
+
+def simhash_candidate_pairs(ds: rd.Dataset, id_col: str,
+                            text_col: str = "text", num_bands: int = 9,
+                            max_hd: int = 8) -> pd.DataFrame:
+    """Distributed SimHash near-dup: banding shuffle (only (id, band,
+    band_hash, sig) rows move), Hamming verification inside each bucket.
+    Exact for ``max_hd <= num_bands - 1`` — equivalent to the all-pairs scan
+    without the O(n²) compare."""
+    assert max_hd <= num_bands - 1, "recall bound requires max_hd < num_bands"
+    stage = SimHashBandStage(id_col, text_col, num_bands)
+    buckets = ds.map_batches(stage, batch_format="pyarrow")
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sig = g["sig"].to_numpy().astype(np.uint64)
+        a, b = np.triu_indices(ids.size, k=1)
+        x = sig[a] ^ sig[b]
+        hd = lut[x.view(np.uint8).reshape(-1, 8)].sum(1)
+        keep = hd <= max_hd
+        return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
+                             "hamming": hd[keep].astype(np.int64)})
+
+    cand = (buckets.groupby(["band", "band_hash"])
+            .map_groups(pairs_in_bucket, batch_format="pandas")).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object),
+                             "hamming": pd.Series([], dtype=np.int64)})
+    swap = cand["id_a"] > cand["id_b"]
+    cand.loc[swap, ["id_a", "id_b"]] = cand.loc[swap, ["id_b", "id_a"]].to_numpy()
+    cand = cand.drop_duplicates(subset=["id_a", "id_b"])
+    cand["hamming"] = cand["hamming"].astype(np.int64)
+    return (cand.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -122,3 +122,54 @@ def test_ivf_recall_vs_brute_force():
         b = set(approx[approx.query_id == q]["neighbor_id"])
         recalls.append(len(a & b) / len(a))
     assert np.mean(recalls) >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_bucketed_cosine_pairs_match_all_pairs(sf_dir):
+    """The IVF-bucketed pair search must equal the all-pairs oracle at the
+    query's configured probe width (the driver gate relies on this)."""
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.ann import (cosine_pairs,
+                                                 cosine_pairs_bucketed)
+
+    ds = rd.read_parquet(sf_dir + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    want = cosine_pairs(ds, threshold=0.4)[["id_a", "id_b"]]
+    got = cosine_pairs_bucketed(ds, threshold=0.4, n_centroids=16,
+                                nprobe=6)[["id_a", "id_b"]]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_banding_equals_all_pairs():
+    """9 bit-slice bands guarantee recall for hd <= 8 (pigeonhole); the
+    distributed banding output must equal the brute-force all-pairs scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.dedup import (simhash_bits,
+                                                   simhash_candidate_pairs)
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    base = [" ".join(rng.choice(words, size=12)) for _ in range(40)]
+    texts = base + [t.replace("alpha", "alphaa", 1) for t in base[:10]]
+    ids = [f"r{i:03d}" for i in range(len(texts))]
+    tbl = pa.table({"rid": ids, "text": texts})
+
+    sig = simhash_bits(tbl["text"])
+    a, b = np.triu_indices(len(ids), k=1)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    hd = lut[(sig[a] ^ sig[b]).view(np.uint8).reshape(-1, 8)].sum(1)
+    keep = hd <= 8
+    want = pd.DataFrame({"id_a": np.array(ids, object)[a[keep]],
+                         "id_b": np.array(ids, object)[b[keep]],
+                         "hamming": hd[keep].astype(np.int64)})
+    want = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    got = simhash_candidate_pairs(rd.from_arrow(tbl), id_col="rid",
+                                  num_bands=9, max_hd=8)
+    pd.testing.assert_frame_equal(got, want)
