@@ -268,10 +268,16 @@ def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
     and split into ``num_partitions`` sub-tables (returned as P objects)."""
     import pyarrow.dataset as pads
 
-    # the unified schema makes heterogeneous (evolved) fragments null-fill
-    # missing columns and widen types at scan time
-    tbl = pads.dataset(files, schema=schema).to_table(filter=flt)
-    tbl = align_to_schema(tbl, schema)
+    # heterogeneous (evolved) fragments: scan each file with ITS OWN schema
+    # (the filter only touches the always-present lsn column, so pushdown
+    # still applies) and align afterwards — Arrow's scanner can null-fill /
+    # widen flat columns but cannot cast evolved struct columns, while
+    # align_to_schema handles the full lattice including nested types
+    parts = []
+    for f in files:
+        t = pads.dataset(f).to_table(filter=flt)
+        parts.append(align_to_schema(t, schema))
+    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     op_values = pa.array(OPS, type=pa.string())
     rank = pc.index_in(tbl.column(op_col), value_set=op_values).cast(pa.int8())
     tbl = tbl.drop_columns([op_col]).append_column(RANK_COL, rank)
@@ -408,7 +414,10 @@ class CDCEngine:
             return self._replay_direct(files, in_schema, payload_schema,
                                        ckpts, flt)
 
-        ds = rd.read_parquet(files, schema=in_schema, filter=flt)
+        # no schema= at the read: evolved struct columns cannot be cast by
+        # the parquet scanner; each batch aligns to the unified schema inside
+        # the normalizer instead (same lattice as the direct path)
+        ds = rd.read_parquet(files, filter=flt)
         ds = ds.map_batches(
             _make_normalizer(in_schema, self.key, self.lsn_col, self.op_col,
                              self.num_partitions, self.salts,

@@ -34,21 +34,23 @@ IMAGE_MAGIC = [
 
 
 def sniff_format(batch: pa.Table, data_col: str = "data") -> pa.Table:
-    """Append ``format`` from magic bytes (vectorized prefix compare)."""
+    """Append ``format`` from magic bytes — fully vectorized: one
+    ``binary_slice`` + equality kernel per signature, first match wins
+    (never materializes the blobs into Python)."""
+    import pyarrow.compute as pc
+
     col = batch.column(data_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    bufs = col.to_pylist()  # binary prefixes; rows are opaque blobs
-    fmts = []
-    for b in bufs:
-        fmt = "unknown"
-        if b:
-            for magic, name in IMAGE_MAGIC:
-                if bytes(b[:len(magic)]) == magic:
-                    fmt = name
-                    break
-        fmts.append(fmt)
-    return batch.append_column("format", pa.array(fmts, pa.string()))
+    n = len(col)
+    fmt = pa.array(["unknown"] * n, pa.string())
+    for magic, name in IMAGE_MAGIC:
+        prefix = pc.binary_slice(col, 0, len(magic))
+        hit = pc.fill_null(pc.equal(prefix, pa.scalar(magic, pa.binary())),
+                           False)
+        unset = pc.equal(fmt, "unknown")
+        fmt = pc.if_else(pc.and_(hit, unset), pa.scalar(name, pa.string()), fmt)
+    return batch.append_column("format", fmt)
 
 
 class ImageDecoder:

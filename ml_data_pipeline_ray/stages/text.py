@@ -134,9 +134,23 @@ class Fingerprinter:
         self.pows, self.inv_pows = pows, inv_pows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        lens = np.array([len(t.encode()) if t else 0 for t in texts], dtype=np.int64)
-        data = np.frombuffer(b"".join((t or "").encode() for t in texts), dtype=np.uint8)
+        col = batch.column(self.text_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(arr) == 0:
+            z = pa.array([], pa.uint64())
+            return (batch.append_column("fp_content", z)
+                         .append_column("fp_min", z))
+        arr = pc.fill_null(arr, "")
+        # the Arrow string column already IS a contiguous UTF-8 byte buffer +
+        # offsets — view it zero-copy instead of round-tripping through
+        # Python strings (rows tile [offsets[0], offsets[-1]) contiguously,
+        # exactly the packed layout the kernel expects)
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offsets = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data_all = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        data = data_all[offsets[0]:offsets[-1]]
+        lens = np.diff(offsets).astype(np.int64)
         fp_content, fp_min = self._fingerprint(data, lens)
         batch = batch.append_column("fp_content", pa.array(fp_content, type=pa.uint64()))
         batch = batch.append_column("fp_min", pa.array(fp_min, type=pa.uint64()))

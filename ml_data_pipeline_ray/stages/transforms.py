@@ -25,15 +25,42 @@ BOOL_TRUE = {"true", "1", "yes", "y", "t"}
 BOOL_FALSE = {"false", "0", "no", "n", "f"}
 
 
+def _align_column(col: pa.ChunkedArray | pa.Array,
+                  target: pa.DataType) -> pa.ChunkedArray | pa.Array:
+    """Recursively align one column to ``target`` — the reference's
+    ``compatible_with`` widening lattice (``schema.rs:206-253``) extended to
+    nested types: numeric/decimal widening via cast, struct evolution adds
+    missing child fields as typed nulls (recursing into present ones), list
+    value types align element-wise."""
+    if col.type.equals(target):
+        return col
+    if pa.types.is_struct(target) and pa.types.is_struct(col.type):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        src_names = {f.name for f in col.type}
+        children = []
+        for f in target:
+            if f.name in src_names:
+                children.append(_align_column(arr.field(f.name), f.type))
+            else:
+                children.append(pa.nulls(len(arr), f.type))
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in children],
+            fields=list(target), mask=mask)
+    # numeric widening, decimal precision growth, list<T>→list<U>,
+    # dictionary→plain etc. are all single casts in Arrow
+    return col.cast(target)
+
+
 def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
     """Schema evolution at the batch level: add missing columns as typed
-    nulls and cast widened types (numeric widening / added nullability)."""
+    nulls and align widened/evolved types (numeric + decimal widening,
+    struct field addition, list element widening, added nullability)."""
     cols = []
     for field in schema:
         if field.name in batch.column_names:
-            col = batch.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
+            col = _align_column(batch.column(field.name), field.type)
         else:
             col = pa.nulls(batch.num_rows, type=field.type)
         cols.append(col)

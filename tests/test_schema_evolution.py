@@ -49,3 +49,77 @@ def test_evolved_replay_unifies_schema_and_matches_oracle(evolved_fixture, tmp_p
     # pre-cutover winners have null model (null-backfill), some post-cutover don't
     assert got["model"].isna().any()
     assert got["model"].notna().any()
+
+
+def test_align_column_nested_and_decimal():
+    from decimal import Decimal
+
+    from ml_data_pipeline_ray.stages.transforms import align_to_schema
+
+    batch = pa.table({
+        "d": pa.array([Decimal("1.23"), Decimal("4.56")], pa.decimal128(5, 2)),
+        "l": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+        "s": pa.array([{"model": "m1"}, None],
+                      pa.struct([("model", pa.string())])),
+    })
+    target = pa.schema([
+        ("d", pa.decimal128(18, 2)),                       # precision widening
+        ("l", pa.list_(pa.int64())),                       # element widening
+        ("s", pa.struct([("model", pa.string()),
+                         ("temp", pa.float64())])),        # struct evolution
+        ("extra", pa.int64()),                             # added column
+    ])
+    out = align_to_schema(batch, target)
+    assert out.schema == target
+    assert out["d"].to_pylist() == [Decimal("1.23"), Decimal("4.56")]
+    assert out["l"].to_pylist() == [[1, 2], [3]]
+    assert out["s"].to_pylist() == [{"model": "m1", "temp": None}, None]
+    assert out["extra"].null_count == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("exchange", ["direct", "raydata"])
+def test_nested_struct_column_through_cdc_replay(tmp_path, exchange):
+    """A struct payload column that evolves mid-log (absent -> struct<model>
+    -> struct<model, temp>) must unify permissively and survive replay."""
+    import os
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+
+    def w(name, rows, meta_type):
+        cols = {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "conv_id": pa.array([r[2] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int64()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[4] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([0] * len(rows), pa.int64()),
+        }
+        if meta_type is not None:
+            cols["meta"] = pa.array([r[5] for r in rows], meta_type)
+        pq.write_table(pa.table(cols), os.path.join(d, name))
+
+    w("a.parquet", [(1, "insert", "c1", 0, "t1"),
+                    (2, "insert", "c2", 0, "t2")], None)
+    t_v1 = pa.struct([("model", pa.string())])
+    w("b.parquet", [(3, "update", "c1", 0, "t1b", {"model": "m1"})], t_v1)
+    t_v2 = pa.struct([("model", pa.string()), ("temp", pa.float64())])
+    w("c.parquet", [(4, "insert", "c3", 0, "t3",
+                     {"model": "m2", "temp": 0.5})], t_v2)
+
+    eng = CDCEngine(str(tmp_path / ("lake_nested_" + exchange)),
+                    num_partitions=4, exchange=exchange)
+    m = eng.replay(d)
+    assert m["committed"]
+    tbl = eng.final_table(sort=True)
+    assert tbl.schema.field("meta").type == t_v2
+    rows = {r["conv_id"]: r for r in tbl.to_pylist()}
+    assert rows["c1"]["meta"] == {"model": "m1", "temp": None}
+    assert rows["c2"]["meta"] is None
+    assert rows["c3"]["meta"] == {"model": "m2", "temp": 0.5}
+    assert rows["c1"]["text"] == "t1b"
+
+
