@@ -288,7 +288,9 @@ def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
 
     # ONE sort orders by (pid, key..., lsn, rank): the LWW-combine boundary
     # scan AND the partition split both read off it (pid never splits a key —
-    # it is a function of key[0])
+    # it is a function of key[0]). Arrow's fused sort_by measured FASTER than
+    # hand-split sort_indices + selective gathers (two variants profiled at
+    # 1.5-3x worse — the fused sort's cache behavior wins).
     sort_keys = ([(PID_COL, "ascending")] + [(k, "ascending") for k in key]
                  + [(lsn_col, "ascending"), (RANK_COL, "ascending")])
     tbl = tbl.sort_by(sort_keys)
@@ -360,7 +362,8 @@ class CDCEngine:
     def __init__(self, lake_dir: str, num_partitions: int = 32,
                  key: list[str] | None = None, lsn_col: str = "lsn",
                  op_col: str = "op", two_stage: bool = False, salts: int = 8,
-                 combine_batches: bool = True, exchange: str = "direct"):
+                 combine_batches: bool = True, exchange: str = "direct",
+                 split_mib: int = 16):
         if exchange not in ("direct", "raydata"):
             raise ValueError(f"unknown exchange {exchange!r}")
         if two_stage:
@@ -375,6 +378,7 @@ class CDCEngine:
         self.two_stage = two_stage
         self.salts = salts
         self.combine_batches = combine_batches
+        self.split_mib = split_mib
         self.manifest = LakeManifest(lake_dir)
         meta = self.manifest.load().get("meta", {})
         if "num_partitions" in meta and int(meta["num_partitions"]) != num_partitions:
@@ -450,10 +454,12 @@ class CDCEngine:
         import ray as _ray
 
         # split count derives from input bytes only (not cluster size), so the
-        # physical plan is identical at every parallelism level; ~32 MiB of
-        # compressed parquet per split keeps per-task heap bounded
+        # physical plan is identical at every parallelism level; bounded MiB
+        # of compressed parquet per split keeps per-task heap bounded and the
+        # map wave count fine-grained (stragglers cost a small split, not a
+        # 1/37th of the job)
         total_bytes = sum(os.path.getsize(f) for f in files)
-        target_splits = max(16, int(total_bytes // (32 << 20)))
+        target_splits = max(16, int(total_bytes // (self.split_mib << 20)))
         n_splits = max(1, min(len(files), target_splits))
         splits = [files[i::n_splits] for i in range(n_splits)]
 

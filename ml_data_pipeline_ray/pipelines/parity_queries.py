@@ -359,3 +359,97 @@ SELECT d.source, CAST(i.source_id AS BIGINT) AS source_id,
 FROM documents d JOIN ids i ON d.source = i.source
 GROUP BY d.source, i.source_id
 """
+
+
+# -- U1: intersect / except --------------------------------------------------
+
+def setops_event_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct set ops: users with purchases INTERSECT / EXCEPT users with
+    errors — one groupby shuffle each over per-batch-deduped keys."""
+    from ..stages.setops import except_distinct, intersect_distinct
+
+    def side(event_type: str) -> rd.Dataset:
+        return rd.read_parquet(_t(sf_dir, "events"), columns=["user_id",
+                                                              "event_type"],
+                               filter=pc.field("event_type") == event_type
+                               ).select_columns(["user_id"])
+
+    both = intersect_distinct(side("purchase"), side("error"),
+                              ["user_id"]).to_pandas()
+    only = except_distinct(side("purchase"), side("error"),
+                           ["user_id"]).to_pandas()
+    both["setop"] = "intersect"
+    only["setop"] = "except"
+    out = pd.concat([both, only], ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out[["setop", "user_id"]]
+
+
+SQL_SETOPS_EVENT_USERS = """
+SELECT 'intersect' AS setop, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT 'except' AS setop, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+# -- S8/T11 multimodal: binary sniff + (stubbed) decode plumbing -------------
+
+def _mm_fixture_path() -> str:
+    from ..stages.multimodal import make_binary_fixture
+
+    d = _scratch("mm", "global")
+    path = os.path.join(d, "blobs.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_binary_fixture(n=256, seed=42), path)
+    return path
+
+
+def multimodal_sniff_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing end-to-end over a deterministic binary-column
+    parquet fixture: magic-byte format sniffing (vectorized) + the
+    deterministic fake decode stage (actor pool), aggregated per format.
+    The oracle recomputes formats from blob prefixes and the fake decode's
+    integer hash arithmetic in SQL over the SAME parquet file."""
+    from ..stages.multimodal import ImageDecoder, sniff_format
+
+    ds = rd.read_parquet(_mm_fixture_path())
+    ds = ds.map_batches(sniff_format, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(ImageDecoder, fn_constructor_kwargs={"fake": True},
+                        batch_format="pyarrow", concurrency=2)
+    out = (ds.groupby("format")
+           .aggregate(Count(alias_name="n"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"))).to_pandas()
+    for c in ("n", "sum_width", "sum_height"):
+        out[c] = out[c].astype(np.int64)
+    return out[["format", "n", "sum_width", "sum_height"]]
+
+
+def sql_multimodal_sniff_decode() -> str:
+    from ..stages.multimodal import IMAGE_MAGIC
+
+    path = _mm_fixture_path()
+    # DuckDB has no blob substring — compare on the hex encoding instead
+    cases = "\n    ".join(
+        f"WHEN substring(upper(hex(data)), 1, {2 * len(magic)}) = "
+        f"'{magic.hex().upper()}' THEN '{name}'"
+        for magic, name in IMAGE_MAGIC)
+    return f"""
+WITH b AS (
+  SELECT CASE
+    {cases}
+    ELSE 'unknown' END AS format,
+    (octet_length(data) * 2654435761) % 2147483648 AS h
+  FROM read_parquet('{path}'))
+SELECT format, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(16 + h % 241) AS BIGINT) AS sum_width,
+       CAST(sum(16 + (h // 256) % 241) AS BIGINT) AS sum_height
+FROM b GROUP BY format
+"""

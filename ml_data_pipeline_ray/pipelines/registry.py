@@ -73,6 +73,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "timeseries_fill_hourly": P.timeseries_fill_hourly,
         "scaler_moments_lineitem": P.scaler_moments_lineitem,
         "dict_encode_docs": P.dict_encode_docs,
+        "setops_event_users": P.setops_event_users,
+        "multimodal_sniff_decode": P.multimodal_sniff_decode,
     }
 
 
@@ -118,6 +120,8 @@ def build_oracle_sql() -> dict[str, str]:
         "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
+        "setops_event_users": P.SQL_SETOPS_EVENT_USERS,
+        "multimodal_sniff_decode": P.sql_multimodal_sniff_decode(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -72,6 +72,7 @@ QUERY_NAMES = [
     "csv_inference_messy", "text_lines_docs", "tfrecord_roundtrip_docs",
     "arrow_ipc_roundtrip_nation", "jsonl_roundtrip_events",
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
+    "setops_event_users", "multimodal_sniff_decode",
 ]
 
 ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]
