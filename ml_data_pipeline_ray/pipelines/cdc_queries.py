@@ -62,3 +62,38 @@ def cdc_replay_evolved(sf_dir: str) -> pa.Table:
     eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
     eng.replay(paths["changelog"])
     return _final(eng, FINAL_COLS + ["model"])
+
+
+def cdc_replay_compacted(sf_dir: str) -> pa.Table:
+    """Replay, then compact tombstones away (a second exactly-once
+    transaction rewriting only tombstoned partitions) and read through the
+    new manifest version — the visible final state must be unchanged, so it
+    shares cdc_replay's oracle."""
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay(paths["changelog"])
+    res = eng.compact()
+    assert res["committed"] and res["partitions_compacted"] > 0, res
+    return _final(eng, FINAL_COLS)
+
+
+def cdc_tail_incremental(sf_dir: str) -> pa.Table:
+    """WAL-tail path: the changelog's files are revealed in two batches of
+    LSN-contiguous segments; each poll applies only the new events on top of
+    the per-partition checkpoints. Final state must equal the one-shot
+    replay, so it shares cdc_replay's oracle."""
+    import glob as _glob
+    import os
+
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    files = sorted(_glob.glob(os.path.join(paths["changelog"], "*.parquet")))
+    # split by LSN (not by file list) to honor the tailer's prefix contract
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    from ..cdc.replay import _lsn_bounds
+    lo, hi = _lsn_bounds(files, "lsn")
+    mid = (lo + hi) // 2
+    eng.replay(files, lsn_max=mid)
+    eng.replay(files, lsn_min=mid)
+    m3 = eng.replay(files)          # idempotent: nothing new
+    assert m3["committed"] is False
+    return _final(eng, FINAL_COLS)

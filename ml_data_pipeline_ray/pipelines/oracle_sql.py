@@ -20,7 +20,7 @@ from ..stages.text import CJK_RE, LANG_PROFILES, STOPWORDS_EN, stopword_regex
 from .fixture_paths import changelog_glob, transcripts_glob
 from .text_queries import (COSINE_THRESHOLD, JACCARD_THRESHOLD,
                            SAMPLE_MAX_MINHASH, SAMPLE_MAX_NGRAM)
-from .tpch import LINEITEM_PRED
+from .tpch import LINEITEM_PRED, PART_PRED
 
 #: scale the driver's correctness harness runs at (sf0.01)
 DRIVER_SCALE = "small"
@@ -155,6 +155,17 @@ SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
        round(round(sum(s.s_acctbal) * 1e2) / 1e2, 2) AS total_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
+"""
+
+
+def sql_part_filter_string_predicates() -> str:
+    # WHERE clause rendered from the SAME predicate AST the Ray query applies
+    return f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(round(sum(p_retailprice) * 1e2) / 1e2, 2) AS sum_price
+FROM part
+WHERE {PART_PRED.to_sql()}
+GROUP BY p_brand
 """
 
 

@@ -28,6 +28,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
         "cdc_replay_evolved": C.cdc_replay_evolved,
+        "cdc_replay_compacted": C.cdc_replay_compacted,
+        "cdc_tail_incremental": C.cdc_tail_incremental,
         # relational / TPC-H-ish (T1-T7, P1-P2, O1-O3, U1, joins)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue": Q.q6_revenue,
@@ -39,6 +41,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": Q.parts_by_brand,
         "supplier_balance_by_nation": Q.supplier_balance_by_nation,
         "lineitem_filter_predicates": Q.lineitem_filter_predicates,
+        "part_filter_string_predicates": Q.part_filter_string_predicates,
         # events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -84,6 +87,8 @@ def build_oracle_sql() -> dict[str, str]:
         "cdc_replay_two_stage": S.sql_cdc_replay(),
         "cdc_replay_rounds": S.sql_cdc_replay(),
         "cdc_replay_evolved": S.sql_cdc_replay_evolved(),
+        "cdc_replay_compacted": S.sql_cdc_replay(),
+        "cdc_tail_incremental": S.sql_cdc_replay(),
         "q1_pricing_summary": S.SQL_Q1,
         "q6_revenue": S.SQL_Q6,
         "q3_top_orders": S.SQL_Q3,
@@ -94,6 +99,7 @@ def build_oracle_sql() -> dict[str, str]:
         "parts_by_brand": S.SQL_PARTS_BY_BRAND,
         "supplier_balance_by_nation": S.SQL_SUPPLIER_BALANCE_BY_NATION,
         "lineitem_filter_predicates": S.sql_lineitem_filter_predicates(),
+        "part_filter_string_predicates": S.sql_part_filter_string_predicates(),
         "events_hourly": S.SQL_EVENTS_HOURLY,
         "events_sessions": S.SQL_EVENTS_SESSIONS,
         "events_user_stats": S.SQL_EVENTS_USER_STATS,

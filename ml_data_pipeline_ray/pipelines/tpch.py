@@ -272,6 +272,33 @@ LINEITEM_PRED = And([
 ])
 
 
+from ..stages.predicates import Compare, Not, Or  # noqa: E402
+
+PART_PRED = Or([
+    Compare("p_type", "contains", "PROMO"),
+    And([Compare("p_name", "starts_with", "c"),
+         Not(Compare("p_brand", "ends_with", "#1")),
+         Compare("p_size", "ne", 13)]),
+    Compare("p_name", "ends_with", "bolt"),
+])
+
+
+def part_filter_string_predicates(sf_dir: str) -> pd.DataFrame:
+    """String-predicate family (Contains/StartsWith/EndsWith + Or/Not/Ne —
+    reference P1/P2 ops beyond the pushdown-eligible set): the composed AST
+    is applied at the read (non-eligible ops evaluate post-scan inside the
+    scanner) and the oracle WHERE clause renders from the SAME AST."""
+    assert not PART_PRED.can_push_down()  # documents eligibility reporting
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_name", "p_brand", "p_type", "p_size",
+                                  "p_retailprice"],
+                         filter=PART_PRED.to_expression())
+    out = (ds.groupby("p_brand")
+           .aggregate(Count(alias_name="n_parts"),
+                      Sum("p_retailprice", alias_name="sum_price"))).to_pandas()
+    return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})
+
+
 def lineitem_filter_predicates(sf_dir: str) -> pd.DataFrame:
     """Composed predicate AST pushed into the parquet read; the oracle WHERE
     clause is rendered from the SAME AST via ``to_sql()``."""

@@ -58,10 +58,11 @@ def _oracle_for_tiny(e, name: str) -> str:
 
 QUERY_NAMES = [
     "cdc_replay", "cdc_replay_two_stage", "cdc_replay_rounds",
-    "cdc_replay_evolved",
+    "cdc_replay_evolved", "cdc_replay_compacted", "cdc_tail_incremental",
     "q1_pricing_summary", "q6_revenue", "q3_top_orders", "nation_revenue",
     "top_orders", "orders_per_priority", "customer_segments", "parts_by_brand",
     "supplier_balance_by_nation", "lineitem_filter_predicates",
+    "part_filter_string_predicates",
     "events_hourly", "events_sessions", "events_user_stats",
     "events_systematic_sample", "union_event_slices", "events_onehot",
     "events_props_k", "csv_roundtrip_supplier",
