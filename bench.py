@@ -42,6 +42,9 @@ QUERY_SUITE = [
     "top_orders", "events_hourly", "events_sessions",
     "docs_quality_by_source", "docs_langid", "dedup_exact_events",
     "ann_topk", "neardup_embedding",
+    # round 2 additions
+    "neardup_minhash", "timeseries_fill_hourly", "setops_event_users",
+    "part_filter_string_predicates", "jsonl_roundtrip_events",
 ]
 
 

@@ -366,7 +366,7 @@ GROUP BY d.source, i.source_id
 def setops_event_users(sf_dir: str) -> pd.DataFrame:
     """Distinct set ops: users with purchases INTERSECT / EXCEPT users with
     errors — one groupby shuffle each over per-batch-deduped keys."""
-    from ..stages.setops import except_distinct, intersect_distinct
+    from ..stages.setops import presence_aggregate, select_setop
 
     def side(event_type: str) -> rd.Dataset:
         return rd.read_parquet(_t(sf_dir, "events"), columns=["user_id",
@@ -374,10 +374,11 @@ def setops_event_users(sf_dir: str) -> pd.DataFrame:
                                filter=pc.field("event_type") == event_type
                                ).select_columns(["user_id"])
 
-    both = intersect_distinct(side("purchase"), side("error"),
-                              ["user_id"]).to_pandas()
-    only = except_distinct(side("purchase"), side("error"),
-                           ["user_id"]).to_pandas()
+    # ONE shuffle feeds both set ops; the aggregate is tiny, materialize it
+    agg = presence_aggregate(side("purchase"), side("error"),
+                             ["user_id"]).materialize()
+    both = select_setop(agg, ["user_id"], anti=False).to_pandas()
+    only = select_setop(agg, ["user_id"], anti=True).to_pandas()
     both["setop"] = "intersect"
     only["setop"] = "except"
     out = pd.concat([both, only], ignore_index=True)

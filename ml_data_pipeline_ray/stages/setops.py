@@ -9,9 +9,10 @@ then a vectorized per-group presence test.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Max, Min
 
 
 def _tag(side: int, cols: list[str]):
@@ -23,30 +24,42 @@ def _tag(side: int, cols: list[str]):
     return fn
 
 
-def _reduce(anti: bool, cols: list[str]):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        sides = g["_side"]
-        has_a, has_b = (sides == 0).any(), (sides == 1).any()
-        keep = (has_a and not has_b) if anti else (has_a and has_b)
-        if keep:
-            return g.head(1)[cols]
-        return g.head(0)[cols]
-    return fn
+def presence_aggregate(a: rd.Dataset, b: rd.Dataset,
+                       cols: list[str]) -> rd.Dataset:
+    """Per distinct key: min/max of the side tag (0=a, 1=b). ONE shuffle
+    serves every set op (intersect = saw both sides, except = only side a);
+    callers needing several ops should ``materialize()`` the (tiny) result
+    and slice it rather than re-aggregating."""
+    both = a.map_batches(_tag(0, cols), batch_format="pyarrow").union(
+        b.map_batches(_tag(1, cols), batch_format="pyarrow"))
+    return both.groupby(cols).aggregate(Min("_side", alias_name="_mn"),
+                                        Max("_side", alias_name="_mx"))
+
+
+def select_setop(agg: rd.Dataset, cols: list[str], anti: bool) -> rd.Dataset:
+    def pick(batch: pa.Table) -> pa.Table:
+        if anti:
+            mask = pc.equal(batch["_mx"], 0)               # only side a
+        else:
+            mask = pc.and_(pc.equal(batch["_mn"], 0),      # both sides
+                           pc.equal(batch["_mx"], 1))
+        return batch.filter(mask).select(cols)
+
+    return agg.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _setop(a: rd.Dataset, b: rd.Dataset, cols: list[str],
+           anti: bool) -> rd.Dataset:
+    return select_setop(presence_aggregate(a, b, cols), cols, anti)
 
 
 def intersect_distinct(a: rd.Dataset, b: rd.Dataset,
                        cols: list[str]) -> rd.Dataset:
     """Rows (projected to ``cols``, distinct) present in BOTH datasets."""
-    both = a.map_batches(_tag(0, cols), batch_format="pyarrow").union(
-        b.map_batches(_tag(1, cols), batch_format="pyarrow"))
-    return both.groupby(cols).map_groups(_reduce(False, cols),
-                                         batch_format="pandas")
+    return _setop(a, b, cols, anti=False)
 
 
 def except_distinct(a: rd.Dataset, b: rd.Dataset,
                     cols: list[str]) -> rd.Dataset:
     """Distinct rows of ``a`` (projected to ``cols``) absent from ``b``."""
-    both = a.map_batches(_tag(0, cols), batch_format="pyarrow").union(
-        b.map_batches(_tag(1, cols), batch_format="pyarrow"))
-    return both.groupby(cols).map_groups(_reduce(True, cols),
-                                         batch_format="pandas")
+    return _setop(a, b, cols, anti=True)
