@@ -210,6 +210,27 @@ GROUP BY user_id
 
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
+SQL_EVENTS_ASOF_CLICK = """
+SELECT p.user_id, p.event_id, c.event_id AS click_event_id
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+SQL_EVENTS_ROLLING_3H = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(sum(value) * 1e2) / 1e2 AS sv
+  FROM events GROUP BY event_type, date_trunc('hour', ts))
+SELECT event_type, hour,
+       round(sum(sv) OVER (
+         PARTITION BY event_type ORDER BY hour
+         RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW), 2)
+         AS roll_3h
+FROM agg
+"""
+
 SQL_EVENTS_PROPS_K = r"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k

@@ -49,6 +49,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_systematic_sample": Q.events_systematic_sample,
         "union_event_slices": Q.union_event_slices,
         "events_onehot": Q.events_onehot,
+        "events_asof_click": Q.events_asof_click,
+        "events_rolling_3h": Q.events_rolling_3h,
         "events_props_k": Q.events_props_k,
         "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
         "distinct_event_types": Q.distinct_event_types,
@@ -106,6 +108,8 @@ def build_oracle_sql() -> dict[str, str]:
         "events_systematic_sample": S.SQL_EVENTS_SYSTEMATIC_SAMPLE,
         "union_event_slices": S.SQL_UNION_EVENT_SLICES,
         "events_onehot": S.SQL_EVENTS_ONEHOT,
+        "events_asof_click": S.SQL_EVENTS_ASOF_CLICK,
+        "events_rolling_3h": S.SQL_EVENTS_ROLLING_3H,
         "events_props_k": S.SQL_EVENTS_PROPS_K,
         "csv_roundtrip_supplier": S.SQL_CSV_ROUNDTRIP_SUPPLIER,
         "distinct_event_types": S.SQL_DISTINCT_EVENT_TYPES,

@@ -408,6 +408,53 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_asof_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before the purchase time (left-outer). Oracle: DuckDB ASOF LEFT JOIN
+    over the same slices."""
+    from ..stages.joins import asof_join
+
+    def side(event_type: str) -> rd.Dataset:
+        return rd.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id", "event_id", "ts",
+                                        "event_type"],
+                               filter=pc.field("event_type") == event_type
+                               ).select_columns(["user_id", "event_id", "ts"])
+
+    joined = asof_join(side("purchase"), side("click"), by="user_id", on="ts")
+    out = joined.to_pandas()
+    out = out.rename(columns={"event_id_r": "click_event_id"})
+    return out[["user_id", "event_id", "click_event_id"]]
+
+
+def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
+    """Rolling event-time window (3h moving sum over the hourly aggregate,
+    gap-aware RANGE semantics): per event_type, sum of the stabilized hourly
+    values in (hour - 3h, hour]."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                         "value": b["value"]})
+
+    agg = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("value", alias_name="sv")))
+    agg = agg.map_batches(lambda d: _stab(d, {"sv": 2}), batch_format="pandas")
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        s = g.set_index("hour")["sv"].rolling("3h").sum()
+        return pd.DataFrame({"event_type": g["event_type"].iloc[0],
+                             "hour": s.index,
+                             "roll_3h": _haround(s.to_numpy(), 2)})
+
+    return (agg.groupby("event_type")
+            .map_groups(roll, batch_format="pandas")).to_pandas()
+
+
 def csv_roundtrip_supplier(sf_dir: str) -> pd.DataFrame:
     """CSV writer -> typed CSV reader (schema inference) round trip (S1/K1):
     supplier goes to CSV and back; the oracle reads the original table, so

@@ -154,6 +154,60 @@ def broadcast_semi_join(ds: rd.Dataset, keys, on: list[str],
                           zero_copy_batch=(fmt == "pyarrow"))
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
+              direction: Literal["backward", "forward"] = "backward",
+              suffix: str = "_r") -> rd.Dataset:
+    """As-of join (the brief's canonical custom operator — absent from both
+    the reference and Ray Data): for each left row, the single right row
+    with the same ``by`` key and the nearest ``on`` value at-or-before
+    (``backward``) / at-or-after (``forward``) the left's. Left rows without
+    a match keep nulls (left-outer semantics).
+
+    Ray-native shape: both sides are tagged and unioned under a padded
+    common schema, ONE ``groupby(by)`` shuffle co-locates each key's rows,
+    and the in-group match is pandas ``merge_asof`` over the sorted group.
+    Partitioning assumption: one ``by`` key's rows fit one group (the same
+    assumption as any per-entity window)."""
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    lcols = list(lschema.names)
+    rrename = {c: (c + suffix if c in lcols and c not in (by, on) else c)
+               for c in rschema.names}
+    rcols = [rrename[c] for c in rschema.names if c not in (by, on)]
+
+    fields = {f.name: f for f in lschema}
+    for f in rschema:
+        name = rrename[f.name]
+        if name not in fields:
+            fields[name] = pa.field(name, f.type)
+    unified = pa.schema(list(fields.values()))
+
+    from .transforms import align_to_schema
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.rename_columns(
+                    [rrename[c] for c in batch.column_names])
+            batch = align_to_schema(batch, unified)
+            return batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
+        rg = g[g["_side"] == 1][[on] + rcols].sort_values(on, kind="mergesort")
+        if len(lg) == 0:
+            return lg.assign(**{c: pd.Series(dtype=rg[c].dtype) for c in rcols})
+        return pd.merge_asof(lg, rg, on=on, direction=direction)
+
+    return both.groupby(by).map_groups(join_group, batch_format="pandas")
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               how: Literal["inner", "left"] = "inner",
               num_buckets: int | None = None,

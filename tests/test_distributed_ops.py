@@ -173,3 +173,24 @@ def test_simhash_banding_equals_all_pairs():
     got = simhash_candidate_pairs(rd.from_arrow(tbl), id_col="rid",
                                   num_bands=9, max_hd=8)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_directions():
+    import pandas as pd
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": ["a", "a", "b", "c"], "t": [10, 20, 5, 7],
+                         "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "a", "b"], "t": [8, 15, 9],
+                          "rv": ["x", "y", "z"]})
+    back = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     by="k", on="t").to_pandas().sort_values("lv")
+    assert [v if pd.notna(v) else None for v in back["rv"]] \
+        == ["x", "y", None, None]
+    fwd = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="k", on="t", direction="forward"
+                    ).to_pandas().sort_values("lv")
+    assert [v if pd.notna(v) else None for v in fwd["rv"]] \
+        == ["y", None, "z", None]
