@@ -218,6 +218,16 @@ ASOF LEFT JOIN
 ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+SQL_EVENTS_RANGE_CLICK_COUNT = """
+SELECT p.user_id, p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN
+     (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id
+   AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.user_id, p.event_id
+"""
+
 SQL_EVENTS_ROLLING_3H = """
 WITH agg AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,

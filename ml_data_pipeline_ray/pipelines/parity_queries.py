@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-import re
 import tempfile
 
 import numpy as np
@@ -28,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..sources import read_csv_typed, read_json_typed, read_text_lines
 from ..sources.arrow_ipc import read_arrow_ipc_dataset, write_arrow_ipc

@@ -50,6 +50,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "union_event_slices": Q.union_event_slices,
         "events_onehot": Q.events_onehot,
         "events_asof_click": Q.events_asof_click,
+        "events_range_click_count": Q.events_range_click_count,
         "events_rolling_3h": Q.events_rolling_3h,
         "events_props_k": Q.events_props_k,
         "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
@@ -109,6 +110,7 @@ def build_oracle_sql() -> dict[str, str]:
         "union_event_slices": S.SQL_UNION_EVENT_SLICES,
         "events_onehot": S.SQL_EVENTS_ONEHOT,
         "events_asof_click": S.SQL_EVENTS_ASOF_CLICK,
+        "events_range_click_count": S.SQL_EVENTS_RANGE_CLICK_COUNT,
         "events_rolling_3h": S.SQL_EVENTS_ROLLING_3H,
         "events_props_k": S.SQL_EVENTS_PROPS_K,
         "csv_roundtrip_supplier": S.SQL_CSV_ROUNDTRIP_SUPPLIER,

@@ -17,7 +17,7 @@ from ..stages.ann import brute_force_topk, cosine_pairs_bucketed, ivf_topk
 from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
                             simhash_candidate_pairs, verify_candidate_pairs)
 from .fixture_paths import fixture_paths, scale_for_sf_dir, transcripts_glob
-from .tpch import _round, _t
+from .tpch import _t
 
 #: sample bounds for the O(n^2)-verifiable near-dup queries
 SAMPLE_MAX_MINHASH = "conv-00000019"

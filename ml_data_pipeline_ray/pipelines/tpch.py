@@ -427,6 +427,26 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "event_id", "click_event_id"]]
 
 
+def events_range_click_count(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: per purchase, the count of the same user's
+    clicks in the preceding hour ``(ts - 1h, ts]`` — two vectorized
+    searchsorted scans per user group; output linear in purchases."""
+    from ..stages.joins import range_join_count
+
+    def side(event_type: str) -> rd.Dataset:
+        return rd.read_parquet(_t(sf_dir, "events"),
+                               columns=["user_id", "event_id", "ts",
+                                        "event_type"],
+                               filter=pc.field("event_type") == event_type
+                               ).select_columns(["user_id", "event_id", "ts"])
+
+    out = range_join_count(side("purchase"), side("click"), by="user_id",
+                           on="ts", lo_offset=np.timedelta64(-1, "h"),
+                           hi_offset=np.timedelta64(0, "h"),
+                           count_col="n_clicks_1h").to_pandas()
+    return out[["user_id", "event_id", "n_clicks_1h"]]
+
+
 def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
     """Rolling event-time window (3h moving sum over the hourly aggregate,
     gap-aware RANGE semantics): per event_type, sum of the stabilized hourly

@@ -12,7 +12,6 @@ the scalable replacement for the reference's in-loop fitted transforms.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd

@@ -208,6 +208,51 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     return both.groupby(by).map_groups(join_group, batch_format="pandas")
 
 
+def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
+                     lo_offset, hi_offset,
+                     count_col: str = "n_in_range") -> rd.Dataset:
+    """Range (interval) join aggregate: for each left row, the COUNT of
+    right rows with the same ``by`` key and ``on`` in the half-open window
+    ``(left.on + lo_offset, left.on + hi_offset]``.
+
+    Counting (not pair emission) keeps the output linear in the left side —
+    a pair-emitting range join can explode quadratically; when pairs are
+    truly needed, bound the window first. Shape: tag + union + ONE
+    ``groupby(by)`` shuffle, then two vectorized ``searchsorted`` scans per
+    group (no per-row Python). Partitioning assumption: one ``by`` key's
+    rows fit one group."""
+    lschema = _pa_schema(left)
+    lcols = list(lschema.names)
+
+    def tag(side: int, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(keep)
+            from .transforms import align_to_schema
+            target = pa.schema([lschema.field(c) if c in lschema.names
+                                else batch.schema.field(c) for c in lcols])
+            batch = align_to_schema(batch, target)
+            return batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0, lcols), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(tag(1, [by, on]), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rts = np.sort(g.loc[g["_side"] == 1, on].to_numpy())
+        lts = lg[on].to_numpy()
+        lo = np.searchsorted(rts, lts + lo_offset, side="right")
+        hi = np.searchsorted(rts, lts + hi_offset, side="right")
+        out = lg.copy()
+        out[count_col] = (hi - lo).astype(np.int64)
+        return out
+
+    return both.groupby(by).map_groups(count_group, batch_format="pandas")
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               how: Literal["inner", "left"] = "inner",
               num_buckets: int | None = None,

@@ -65,7 +65,7 @@ QUERY_NAMES = [
     "part_filter_string_predicates",
     "events_hourly", "events_sessions", "events_user_stats",
     "events_systematic_sample", "union_event_slices", "events_onehot",
-    "events_asof_click", "events_rolling_3h",
+    "events_asof_click", "events_range_click_count", "events_rolling_3h",
     "events_props_k", "csv_roundtrip_supplier",
     "distinct_event_types",
     "docs_token_stats", "docs_quality_by_source", "docs_langid",
