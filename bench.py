@@ -135,6 +135,12 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
                    MDPR_FIXED_LAYOUT="64", MDPR_WARM_REPLAY="1")
         best = None
         for _ in range(1 if n <= 4 else 2):
+            # measurement hygiene: each level starts with a drained page
+            # cache writeback — the previous level's ~GBs of (deleted) lake
+            # writes otherwise stall this level's merge fsyncs. On a real
+            # cluster each size runs on fresh nodes; this emulates that.
+            os.sync()
+            time.sleep(3)
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout

@@ -260,12 +260,50 @@ def _make_merger(key: list[str], lsn_col: str, payload_schema: pa.Schema,
 import ray
 
 
+def _plan_splits(files: list[str], split_mib: int,
+                 min_splits: int = 64) -> list[list[tuple[str, list[int]]]]:
+    """Bytes-balanced read splits at ROW-GROUP granularity from parquet
+    footers (metadata-only reads). A split is ``[(file, [rg_idx, ...]),
+    ...]`` — independent of how rows happen to be sharded into files, so
+    one huge file still fans out and a thousand tiny files still batch up.
+    The plan derives from input bytes only (never cluster size): identical
+    physical plan at every parallelism level.
+
+    Driver-side footer reads are fine for the file counts one transaction
+    sees; at extreme file counts plan from the manifest instead."""
+    rgs: list[tuple[str, int, int]] = []           # (file, rg, compressed_bytes)
+    total = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            b = sum(md.row_group(rg).column(j).total_compressed_size
+                    for j in range(md.num_columns))
+            rgs.append((f, rg, b))
+            total += b
+    # target bytes/split: bounded above by split_mib, and small enough that
+    # ~min_splits splits exist when the data allows (fine-grained waves)
+    target = max(1, min(split_mib << 20, total // min_splits))
+    splits, cur, cur_bytes = [], [], 0
+    for f, rg, b in rgs:
+        if cur and cur[-1][0] == f:
+            cur[-1][1].append(rg)
+        else:
+            cur.append((f, [rg]))
+        cur_bytes += b
+        if cur_bytes >= target:
+            splits.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        splits.append(cur)
+    return splits
+
+
 @ray.remote
-def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
-                       key: list[str], lsn_col: str, op_col: str,
+def _exchange_map_task(split: list[tuple[str, list[int]]], schema: pa.Schema,
+                       flt, key: list[str], lsn_col: str, op_col: str,
                        num_partitions: int, combine: bool) -> list[pa.Table]:
-    """Read one input split (with row-group pushdown), normalize, combine,
-    and split into ``num_partitions`` sub-tables (returned as P objects)."""
+    """Read one input split (row-group subsets, with pushdown), normalize,
+    combine, and split into ``num_partitions`` sub-tables (P objects)."""
     import pyarrow.dataset as pads
 
     # heterogeneous (evolved) fragments: scan each file with ITS OWN schema
@@ -274,8 +312,11 @@ def _exchange_map_task(files: list[str], schema: pa.Schema, flt,
     # widen flat columns but cannot cast evolved struct columns, while
     # align_to_schema handles the full lattice including nested types
     parts = []
-    for f in files:
-        t = pads.dataset(f).to_table(filter=flt)
+    for f, rg_ids in split:
+        frag = next(iter(pads.dataset(f).get_fragments()))
+        if len(rg_ids) < frag.num_row_groups:
+            frag = frag.subset(row_group_ids=rg_ids)
+        t = frag.to_table(filter=flt)
         parts.append(align_to_schema(t, schema))
     tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     op_values = pa.array(OPS, type=pa.string())
@@ -453,15 +494,13 @@ class CDCEngine:
         Ray Data path."""
         import ray as _ray
 
-        # split count derives from input bytes only (not cluster size), so the
-        # physical plan is identical at every parallelism level; bounded MiB
-        # of compressed parquet per split keeps per-task heap bounded and the
-        # map wave count fine-grained (stragglers cost a small split, not a
-        # 1/37th of the job)
+        # split planning at row-group granularity (bytes only — identical
+        # plan at every parallelism level); bounded MiB per split keeps
+        # per-task heap small and the map waves fine-grained (a straggler
+        # costs one small split, not 1/n_files of the job)
+        splits = _plan_splits(files, self.split_mib)
+        n_splits = len(splits)
         total_bytes = sum(os.path.getsize(f) for f in files)
-        target_splits = max(16, int(total_bytes // (self.split_mib << 20)))
-        n_splits = max(1, min(len(files), target_splits))
-        splits = [files[i::n_splits] for i in range(n_splits)]
 
         P = self.num_partitions
         payload_names = [f.name for f in payload_schema]
