@@ -97,3 +97,25 @@ def cdc_tail_incremental(sf_dir: str) -> pa.Table:
     m3 = eng.replay(files)          # idempotent: nothing new
     assert m3["committed"] is False
     return _final(eng, FINAL_COLS)
+
+
+def cdc_time_travel(sf_dir: str) -> pa.Table:
+    """Snapshot isolation / time travel: apply the changelog in two
+    transactions split at the midpoint LSN, then read the table AS OF the
+    FIRST committed version — the oracle replays only events with
+    ``lsn <= (min+max)//2``, so the pinned manifest must expose exactly the
+    first transaction's converged state."""
+    import glob as _glob
+    import os
+
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    files = sorted(_glob.glob(os.path.join(paths["changelog"], "*.parquet")))
+    from ..cdc.replay import _lsn_bounds
+    lo, hi = _lsn_bounds(files, "lsn")
+    mid = (lo + hi) // 2
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay(files, lsn_max=mid)
+    v1 = eng.manifest.current_version()
+    eng.replay(files, lsn_min=mid)
+    assert eng.manifest.current_version() == v1 + 1
+    return eng.final_table(sort=True, version=v1).select(FINAL_COLS)

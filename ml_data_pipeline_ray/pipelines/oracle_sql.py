@@ -397,3 +397,24 @@ FROM (
   WHERE e.vec_id <> q.qid)
 WHERE rn <= 10
 """
+
+
+def sql_cdc_time_travel(scale: str = DRIVER_SCALE) -> str:
+    # the same LWW window query, restricted to the first transaction's LSN
+    # range: lsn <= (min+max)//2 computed from the same files
+    return f"""
+WITH bounds AS (
+  SELECT (min(lsn) + max(lsn)) // 2 AS mid
+  FROM read_parquet('{changelog_glob(scale)}')
+), ev AS (
+  SELECT *, CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END AS op_rank
+  FROM read_parquet('{changelog_glob(scale)}')
+  WHERE lsn <= (SELECT mid FROM bounds)
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""

@@ -30,6 +30,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_evolved": C.cdc_replay_evolved,
         "cdc_replay_compacted": C.cdc_replay_compacted,
         "cdc_tail_incremental": C.cdc_tail_incremental,
+        "cdc_time_travel": C.cdc_time_travel,
         # relational / TPC-H-ish (T1-T7, P1-P2, O1-O3, U1, joins)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue": Q.q6_revenue,
@@ -92,6 +93,7 @@ def build_oracle_sql() -> dict[str, str]:
         "cdc_replay_evolved": S.sql_cdc_replay_evolved(),
         "cdc_replay_compacted": S.sql_cdc_replay(),
         "cdc_tail_incremental": S.sql_cdc_replay(),
+        "cdc_time_travel": S.sql_cdc_time_travel(),
         "q1_pricing_summary": S.SQL_Q1,
         "q6_revenue": S.SQL_Q6,
         "q3_top_orders": S.SQL_Q3,

@@ -59,6 +59,7 @@ def _oracle_for_tiny(e, name: str) -> str:
 QUERY_NAMES = [
     "cdc_replay", "cdc_replay_two_stage", "cdc_replay_rounds",
     "cdc_replay_evolved", "cdc_replay_compacted", "cdc_tail_incremental",
+    "cdc_time_travel",
     "q1_pricing_summary", "q6_revenue", "q3_top_orders", "nation_revenue",
     "top_orders", "orders_per_priority", "customer_segments", "parts_by_brand",
     "supplier_balance_by_nation", "lineitem_filter_predicates",

@@ -217,3 +217,67 @@ def test_multimodal_sniff_and_fake_decode():
     # deterministic
     feat2 = ImageDecoder(fake=True)(sniff_format(make_binary_fixture(n=16, seed=42)))
     assert feat.equals(feat2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_ast_fuzz_vs_duckdb():
+    """Random predicate trees over lineitem: the Arrow expression applied at
+    the read and the SQL WHERE rendered from the SAME AST must select the
+    same row count (P1/P2 semantics equivalence, fuzzed)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.predicates import (And, Compare, Not,
+                                                        Or, Predicate)
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    rng = random.Random(1234)
+
+    def leaf() -> Predicate:
+        choice = rng.randrange(8)
+        if choice == 0:
+            return Compare("l_quantity", rng.choice(["lt", "le", "gt", "ge"]),
+                           round(rng.uniform(1, 50), 1))
+        if choice == 1:
+            return Compare("l_discount", rng.choice(["le", "ge"]),
+                           round(rng.uniform(0, 0.1), 2))
+        if choice == 2:
+            return Compare("l_returnflag", rng.choice(["eq", "ne"]),
+                           rng.choice(["A", "N", "R"]))
+        if choice == 3:
+            return Compare("l_returnflag", rng.choice(["in", "not_in"]),
+                           rng.sample(["A", "N", "R"], rng.randrange(1, 3)))
+        if choice == 4:
+            return Compare("l_shipdate", rng.choice(["lt", "ge"]),
+                           pd.Timestamp(f"199{rng.randrange(5, 10)}-0"
+                                        f"{rng.randrange(1, 10)}-15"))
+        if choice == 5:
+            return Compare("l_linestatus", "eq", rng.choice(["O", "F"]))
+        if choice == 6:
+            return Compare("l_extendedprice", rng.choice(["gt", "le"]),
+                           round(rng.uniform(1000, 90000), 2))
+        return Compare("l_comment", "contains", rng.choice(
+            ["a", "the", "zz"])) if False else \
+            Compare("l_returnflag", "starts_with", rng.choice(["A", "N"]))
+
+    def tree(depth: int) -> Predicate:
+        if depth <= 0 or rng.random() < 0.4:
+            return leaf()
+        kids = [tree(depth - 1) for _ in range(rng.randrange(2, 4))]
+        k = rng.randrange(3)
+        if k == 0:
+            return And(kids)
+        if k == 1:
+            return Or(kids)
+        return Not(kids[0])
+
+    con = duckdb.connect()
+    for _ in range(25):
+        pred = tree(3).simplify()
+        got = rd.read_parquet(path, filter=pred.to_expression()).count()
+        want = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            f"WHERE {pred.to_sql()}").fetchone()[0]
+        assert got == want, pred.to_sql()
