@@ -7,8 +7,11 @@ differences between Ray and DuckDB cannot flip the value hash.
 
 Scale discipline: reads prune columns; filters are Arrow dataset expressions
 pushed to parquet row groups; dimension tables broadcast (``ray.put`` once);
-the one large-large join (orders x lineitem) uses the bucketed hash join;
-aggregates are map-side-combined by Ray's aggregate operators.
+the orders x lineitem joins go through ``auto_join`` — a bounded broadcast
+attempt with automatic fallback to the bucketed shuffle hash join (the
+unbounded round-1 driver materialization can no longer occur by
+construction); aggregates are map-side-combined by Ray's aggregate
+operators.
 """
 
 from __future__ import annotations
@@ -23,7 +26,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..stages.joins import broadcast_join, broadcast_semi_join, hash_join
+from ..stages.joins import (auto_join, broadcast_join,
+                            broadcast_semi_join, hash_join)
 from ..stages.predicates import And, Compare
 
 
@@ -126,9 +130,6 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
     orders = broadcast_semi_join(orders, keys, on=["o_custkey"])
-    # fact-fact join stays distributed: the semi-joined orders stream is
-    # NEVER materialized on the driver (round-1 anti-pattern) — both sides
-    # shuffle once by hash bucket and join with the Arrow kernel
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
                    .rename_columns(["l_orderkey", "o_orderdate",
@@ -141,7 +142,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         filter=pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1999-01-01")))
     li = li.map_batches(lambda t: t.drop_columns(["l_shipdate"]),
                         batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join(li, orders, on=["l_orderkey"])
+    # cost-based: the semi-joined orders side is ~1/5 of customers' orders —
+    # usually under the broadcast caps, so no shuffle; falls back to the
+    # bucketed hash join automatically if it ever isn't
+    joined = auto_join(li, orders, on=["l_orderkey"])
 
     def rev(b: pa.Table) -> pa.Table:
         revenue = pc.multiply(b["l_extendedprice"],
@@ -190,7 +194,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(lambda t: t.rename_columns(
         ["o_orderkey", "l_extendedprice", "l_discount"]), batch_format="pyarrow")
-    joined = hash_join(li, orders, on=["o_orderkey"])
+    joined = auto_join(li, orders, on=["o_orderkey"])
 
     def rev(b: pa.Table) -> pa.Table:
         revenue = pc.multiply(b["l_extendedprice"],

@@ -154,6 +154,37 @@ def broadcast_semi_join(ds: rd.Dataset, keys, on: list[str],
                           zero_copy_batch=(fmt == "pyarrow"))
 
 
+def auto_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              how: Literal["inner", "left"] = "inner",
+              broadcast_limit_rows: int = 1_000_000,
+              broadcast_limit_bytes: int = 256 << 20,
+              **hash_join_kwargs) -> rd.Dataset:
+    """Cost-based join (the auto-broadcast-threshold pattern): attempt to
+    materialize the right side under HARD row/byte caps — if it fits,
+    broadcast it (no shuffle at all); the moment either cap trips, stop and
+    fall back to the bucketed shuffle join. The caps bound driver and
+    object-store memory by construction, so this can never degenerate into
+    an unbounded driver materialization; an oversized right side costs one
+    partial extra scan (Datasets re-execute lazily)."""
+    batches, rows, nbytes = [], 0, 0
+    over = False
+    for b in right.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        batches.append(t)
+        rows += t.num_rows
+        nbytes += t.nbytes
+        if rows > broadcast_limit_rows or nbytes > broadcast_limit_bytes:
+            over = True
+            break
+    if over:
+        return hash_join(left, right, on, how=how, **hash_join_kwargs)
+    if not batches:
+        small = _pa_schema(right).empty_table()
+    else:
+        small = pa.concat_tables(batches, promote_options="permissive")
+    return broadcast_join(left, small, on=on, how=how)
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
               direction: Literal["backward", "forward"] = "backward",
               suffix: str = "_r") -> rd.Dataset:
