@@ -81,7 +81,17 @@ def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
                        value_cols: list[str], freq: str,
                        method: str = "forward") -> rd.Dataset:
     """Distributed per-key gap fill: one shuffle on ``key``, then each series
-    regularizes independently inside ``map_groups``."""
+    regularizes independently inside ``map_groups``.
+
+    For on-grid inputs (timestamps already multiples of ``freq`` from each
+    key's start — e.g. the output of an hourly/daily bucketing aggregate)
+    with a non-linear method, this dispatches to the BUCKETED vectorized
+    path: keys are hash-grouped into ~2x-cores buckets and every series in a
+    bucket fills in one numpy pass — thousands of per-key Python calls
+    collapse to one call per bucket. Off-grid or ``linear`` inputs use the
+    per-key pandas kernel."""
+    if method in ("forward", "backward", "zero", "nan"):
+        return _regularize_bucketed(ds, key, ts_col, value_cols, freq, method)
     other = [key] + value_cols
 
     def fix(g: pd.DataFrame) -> pd.DataFrame:
@@ -91,3 +101,92 @@ def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
 
     return ds.select_columns([c for c in set(other + [ts_col])]) \
              .groupby(key).map_groups(fix, batch_format="pandas")
+
+
+def _fill_many(g: pd.DataFrame, key: str, ts_col: str,
+               value_cols: list[str], freq_ns: int,
+               method: str) -> pd.DataFrame:
+    """Vectorized multi-series gap fill: every key's series in ``g`` at once
+    (sort + segment arithmetic + one scatter + one accumulate; zero per-row
+    or per-key Python). Requires on-grid timestamps; falls back to the
+    per-key pandas kernel otherwise."""
+    g = g.sort_values([key, ts_col], kind="mergesort")
+    t = g[ts_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+    k = g[key].to_numpy()
+    n = len(g)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = k[1:] != k[:-1]
+    seg_id = np.cumsum(new) - 1
+    tmin = t[new]                                   # first (= min) per segment
+    last = np.roll(new, -1)
+    tmax = t[last]
+    if ((t - tmin[seg_id]) % freq_ns != 0).any():
+        # off-grid: per-key exact kernel
+        parts = []
+        for _, sub in g.groupby(key, sort=False):
+            f = fill_gaps(sub, ts_col, value_cols,
+                          f"{freq_ns}ns", method)
+            f[key] = sub[key].iloc[0]
+            parts.append(f[[key, ts_col] + value_cols])
+        return pd.concat(parts, ignore_index=True)
+
+    counts = (tmax - tmin) // freq_ns + 1
+    total = int(counts.sum())
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    grid_t = np.repeat(tmin, counts) + local * freq_ns
+    grid_k = np.repeat(k[new], counts)
+    pos = offs[seg_id] + (t - tmin[seg_id]) // freq_ns
+
+    out = {key: grid_k,
+           ts_col: grid_t.astype("datetime64[ns]")}
+    valid = np.zeros(total, dtype=bool)
+    valid[pos] = True
+    for c in value_cols:
+        val = np.full(total, np.nan)
+        val[pos] = g[c].to_numpy(dtype=np.float64)
+        if method == "forward":
+            # each segment's first grid cell is real data by construction,
+            # so a single global cummax of last-valid-index never leaks
+            # across segment boundaries
+            idx = np.where(valid, np.arange(total), -1)
+            np.maximum.accumulate(idx, out=idx)
+            val = val[idx]
+        elif method == "backward":
+            idx = np.where(valid, np.arange(total), total)
+            idx = np.minimum.accumulate(idx[::-1])[::-1]
+            val = val[idx]
+        elif method == "zero":
+            val = np.nan_to_num(val, nan=0.0)
+        out[c] = val
+    df = pd.DataFrame(out)
+    df[ts_col] = df[ts_col].astype(g[ts_col].dtype)
+    return df
+
+
+def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
+                         value_cols: list[str], freq: str, method: str,
+                         num_buckets: int | None = None) -> rd.Dataset:
+    import pyarrow as pa
+    import ray
+
+    if num_buckets is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        num_buckets = max(8, 2 * cpus)
+    freq_ns = parse_frequency(freq)
+    cols = [key, ts_col] + value_cols
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kv = batch.column(key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(kv, categorize=True)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return batch.select(cols).append_column("_kb", pa.array(b))
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _fill_many(g.drop(columns=["_kb"]), key, ts_col, value_cols,
+                          freq_ns, method)
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_kb").map_groups(fill_bucket, batch_format="pandas"))
