@@ -453,3 +453,33 @@ SELECT format, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(16 + (h // 256) % 241) AS BIGINT) AS sum_height
 FROM b GROUP BY format
 """
+
+
+# -- S2: seekable CSV (row index + seek) -------------------------------------
+
+def csv_seek_supplier(sf_dir: str) -> pd.DataFrame:
+    """Seekable CSV reader: supplier goes to ONE csv sorted by key; the
+    reader builds the quote-aware byte-offset row index and seeks straight
+    to data row 37, reading 41 rows — the oracle selects the same window by
+    rank, so an off-by-one in the index or framing fails the hash."""
+    from ..sources.readers import build_csv_row_index, read_csv_from_row
+
+    t = pq.read_table(_t(sf_dir, "supplier")).sort_by("s_suppkey")
+    d = _scratch("csvseek", sf_dir)
+    path = os.path.join(d, "supplier.csv")
+    import pyarrow.csv as pacsv
+    pacsv.write_csv(t, path)
+    idx = build_csv_row_index(path)
+    assert idx.size == t.num_rows + 1          # header + data rows
+    out = read_csv_from_row(path, start_row=37, num_rows=41,
+                            index=idx).to_pandas()
+    return _round(out, {"s_acctbal": 2})
+
+
+SQL_CSV_SEEK_SUPPLIER = """
+WITH r AS (
+  SELECT *, row_number() OVER (ORDER BY s_suppkey) - 1 AS rn
+  FROM supplier)
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM r WHERE rn >= 37 AND rn < 78
+"""

@@ -73,6 +73,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": X.ann_ivf,
         # reader/stateful parity family (round-2: driver-gated)
         "csv_inference_messy": P.csv_inference_messy,
+        "csv_seek_supplier": P.csv_seek_supplier,
         "text_lines_docs": P.text_lines_docs,
         "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
         "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
@@ -127,6 +128,7 @@ def build_oracle_sql() -> dict[str, str]:
         "neardup_embedding": S.SQL_NEARDUP_EMBEDDING,
         "ann_topk": S.SQL_ANN_TOPK,
         "csv_inference_messy": P.SQL_CSV_INFERENCE_MESSY,
+        "csv_seek_supplier": P.SQL_CSV_SEEK_SUPPLIER,
         "text_lines_docs": P.SQL_TEXT_LINES_DOCS,
         "tfrecord_roundtrip_docs": P.SQL_TFRECORD_ROUNDTRIP_DOCS,
         "arrow_ipc_roundtrip_nation": P.SQL_ARROW_IPC_ROUNDTRIP_NATION,

@@ -206,6 +206,65 @@ def read_json_typed(paths: str | list[str], *,
     return ds
 
 
+def build_csv_row_index(path: str) -> np.ndarray:
+    """Byte offset of every row start (S2 ``build_row_index``,
+    ``ml-data-readers/src/csv/reader.rs:582-613`` — built vectorized here:
+    one pass computing quote parity with a cumulative sum, so newlines
+    inside quoted fields are NOT row breaks). Index[0] is the header row."""
+    data = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    if data.size == 0:
+        return np.zeros(1, dtype=np.int64)
+    in_quote = (np.cumsum(data == ord('"')) % 2).astype(bool)
+    nl = np.where((data == ord("\n")) & ~in_quote)[0]
+    offsets = np.concatenate(([0], nl + 1))
+    # drop a trailing empty "row" after a final newline
+    if offsets[-1] >= data.size:
+        offsets = offsets[:-1]
+    return offsets.astype(np.int64)
+
+
+def read_csv_from_row(path: str, start_row: int,
+                      num_rows: int | None = None, *,
+                      index: np.ndarray | None = None,
+                      delimiter: str = ",",
+                      schema: pa.Schema | None = None,
+                      schema_inference_rows: int = 1000) -> pa.Table:
+    """Seekable CSV read (S2 ``seek_to_row``): position directly at data row
+    ``start_row`` (0-based, header excluded) via the byte-offset row index
+    and parse only the requested rows — random access / restart without
+    rescanning the prefix. Types come from the declared ``schema`` or the
+    same inference chain as :func:`read_csv_typed`."""
+    if index is None:
+        index = build_csv_row_index(path)
+    with open(path, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip("\r\n")
+        names = next(_csv.reader([header], delimiter=delimiter))
+        row_i = 1 + start_row                 # header occupies index[0]
+        if row_i >= index.size:
+            body = b""
+        else:
+            f.seek(index[row_i])
+            if num_rows is not None and row_i + num_rows < index.size:
+                body = f.read(int(index[row_i + num_rows] - index[row_i]))
+            else:
+                body = f.read()
+    if schema is None:
+        rows = list(_csv.reader(body.decode("utf-8").splitlines()[:schema_inference_rows],
+                                delimiter=delimiter))
+        schema = infer_schema(rows, names, schema_inference_rows)
+    if not body:
+        return schema.empty_table()
+    buf = pa.py_buffer(body)
+    return pacsv.read_csv(
+        pa.BufferReader(buf),
+        read_options=pacsv.ReadOptions(column_names=schema.names),
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        convert_options=pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in schema},
+            true_values=["true", "1", "yes", "y", "t", "True", "TRUE"],
+            false_values=["false", "0", "no", "n", "f", "False", "FALSE"]))
+
+
 def write_csv(ds: rd.Dataset, out_dir: str, **kw) -> None:
     """Dataset → directory of CSV part files (K1)."""
     ds.write_csv(out_dir, **kw)

@@ -72,7 +72,8 @@ QUERY_NAMES = [
     "docs_token_stats", "docs_quality_by_source", "docs_langid",
     "dedup_exact_events", "dedup_exact_docs",
     "neardup_minhash", "neardup_ngram", "neardup_embedding", "ann_topk",
-    "csv_inference_messy", "text_lines_docs", "tfrecord_roundtrip_docs",
+    "csv_inference_messy", "csv_seek_supplier", "text_lines_docs",
+    "tfrecord_roundtrip_docs",
     "arrow_ipc_roundtrip_nation", "jsonl_roundtrip_events",
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
     "setops_event_users", "multimodal_sniff_decode",

@@ -145,3 +145,55 @@ def test_regularize_per_key():
     a = out[out.k == "a"].sort_values("ts")["v"].tolist()
     assert a == [1.0, 2.0, 3.0]
     assert len(out[out.k == "b"]) == 2
+
+
+def test_csv_row_index_and_seek(tmp_path):
+    """Quote-aware row index: embedded newlines inside quoted fields must
+    not become row breaks; seek lands exactly on the requested data row."""
+    from ml_data_pipeline_ray.sources.readers import (build_csv_row_index,
+                                                      read_csv_from_row)
+
+    p = str(tmp_path / "q.csv")
+    with open(p, "w", newline="") as f:
+        f.write('id,note\n1,"line one\nline two"\n2,simple\n3,"x,y"\n')
+    idx = build_csv_row_index(p)
+    assert idx.size == 4                    # header + 3 data rows
+    t = read_csv_from_row(p, start_row=1)
+    assert t.column("id").to_pylist() == [2, 3]
+    assert t.column("note").to_pylist() == ["simple", "x,y"]
+    one = read_csv_from_row(p, start_row=0, num_rows=1)
+    assert one.column("note").to_pylist() == ["line one\nline two"]
+    assert read_csv_from_row(p, start_row=99).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_fill_matches_pandas_kernel():
+    """The vectorized multi-series bucketed fill must equal the per-key
+    pandas kernel for every non-linear method on an on-grid multi-key set."""
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.timeseries import (_regularize_bucketed,
+                                                        fill_gaps)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    for k in range(12):
+        hours = np.sort(rng.choice(200, size=rng.integers(2, 30),
+                                   replace=False))
+        for h in hours:
+            rows.append({"k": f"key-{k:02d}", "ts": base + pd.Timedelta(hours=int(h)),
+                         "v": float(rng.integers(0, 100))})
+    df = pd.DataFrame(rows)
+    for method in ("forward", "backward", "zero", "nan"):
+        got = _regularize_bucketed(rd.from_pandas(df), "k", "ts", ["v"],
+                                   "1h", method, num_buckets=4).to_pandas()
+        got = got.sort_values(["k", "ts"]).reset_index(drop=True)
+        want = []
+        for k, sub in df.groupby("k"):
+            f = fill_gaps(sub, "ts", ["v"], "1h", method)
+            f["k"] = k
+            want.append(f[["k", "ts", "v"]])
+        want = (pd.concat(want).sort_values(["k", "ts"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["k", "ts", "v"]], want,
+                                      check_dtype=False, obj=method)
