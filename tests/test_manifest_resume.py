@@ -98,3 +98,34 @@ def test_resume_skips_already_applied_events(small_fixture, tmp_path):
     assert r1["events_applied"] + r2["events_applied"] < total_events  # dups+dedup
     # per-partition checkpoints advanced to the global max lsn seen per pid
     assert all(v > mid for v in eng.manifest.checkpoints().values())
+
+
+def test_commit_replaces_uncommitted_crash_debris(tmp_path):
+    """A manifest file left by a crashed attempt (version file written,
+    _CURRENT never swung) must be replaced by the retry, not block it."""
+    from ml_data_pipeline_ray.cdc.manifest import LakeManifest
+
+    m = LakeManifest(str(tmp_path / "lake"))
+    import json, os
+    debris = os.path.join(m.manifest_dir, "manifest-000001.json")
+    with open(debris, "w") as f:
+        json.dump({"version": 1, "partitions": {"0": {"file": "junk",
+                  "last_lsn": 1}}, "meta": {}, "metrics": {}}, f)
+    assert m.current_version() == 0          # debris is invisible
+    m.commit(1, {0: {"file": "data/txn-000001/pid=00000.parquet",
+                     "last_lsn": 5, "rows": 1, "tombstones": 0}})
+    assert m.current_version() == 1
+    assert m.load()["partitions"]["0"]["last_lsn"] == 5   # debris replaced
+
+
+def test_commit_rejects_stale_version(tmp_path):
+    """Two writers racing: the loser's version check fails loudly."""
+    from ml_data_pipeline_ray.cdc.manifest import LakeManifest
+
+    a = LakeManifest(str(tmp_path / "lk"))
+    b = LakeManifest(str(tmp_path / "lk"))
+    entry = {"file": "data/txn-000001/pid=00000.parquet",
+             "last_lsn": 1, "rows": 1, "tombstones": 0}
+    a.commit(1, {0: entry})
+    with pytest.raises(ValueError, match="stale transaction"):
+        b.commit(1, {0: entry})
