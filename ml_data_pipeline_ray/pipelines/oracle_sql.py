@@ -418,3 +418,21 @@ WITH bounds AS (
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
+
+
+SQL_NEARDUP_MINHASH_DOCS = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) <= 3
+    THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    END) AS sh
+  FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= 0.5
+"""

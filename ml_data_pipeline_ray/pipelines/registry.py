@@ -65,6 +65,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_events": X.dedup_exact_events,
         "dedup_exact_docs": X.dedup_exact_docs,
         "neardup_minhash": X.neardup_minhash,
+        "neardup_minhash_docs": X.neardup_minhash_docs,
         "neardup_ngram": X.neardup_ngram,
         "neardup_simhash": X.neardup_simhash,
         # similarity search
@@ -124,6 +125,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_exact_events": S.SQL_DEDUP_EXACT_EVENTS,
         "dedup_exact_docs": S.SQL_DEDUP_EXACT_DOCS,
         "neardup_minhash": S.sql_neardup_minhash(),
+        "neardup_minhash_docs": S.SQL_NEARDUP_MINHASH_DOCS,
         "neardup_ngram": S.sql_neardup_ngram(),
         "neardup_embedding": S.SQL_NEARDUP_EMBEDDING,
         "ann_topk": S.SQL_ANN_TOPK,

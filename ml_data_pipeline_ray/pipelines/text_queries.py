@@ -178,3 +178,18 @@ def ann_ivf(sf_dir: str) -> pd.DataFrame:
                          columns=["vec_id", "embedding"])
     ids, m = _queries(sf_dir)
     return ivf_topk(ds, ids, m, k=10, n_centroids=16, nprobe=6)
+
+
+def neardup_minhash_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup over the DOCUMENTS table (tau=0.5): banding with
+    2 hashes/band x 64 bands keeps candidate-miss probability ~1e-8 at the
+    lower threshold; verification is the distributed exact-Jaccard pass, so
+    the output equals the all-pairs oracle."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, id_col="doc_id",
+                                   num_hashes=128, num_bands=64)
+    out = verify_candidate_pairs(ds, cand, id_col="doc_id",
+                                 threshold=0.5, k=3)
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out

@@ -71,7 +71,8 @@ QUERY_NAMES = [
     "distinct_event_types",
     "docs_token_stats", "docs_quality_by_source", "docs_langid",
     "dedup_exact_events", "dedup_exact_docs",
-    "neardup_minhash", "neardup_ngram", "neardup_embedding", "ann_topk",
+    "neardup_minhash", "neardup_minhash_docs", "neardup_ngram",
+    "neardup_embedding", "ann_topk",
     "csv_inference_messy", "csv_seek_supplier", "text_lines_docs",
     "tfrecord_roundtrip_docs",
     "arrow_ipc_roundtrip_nation", "jsonl_roundtrip_events",
