@@ -483,3 +483,32 @@ WITH r AS (
 SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
 FROM r WHERE rn >= 37 AND rn < 78
 """
+
+
+# -- S11: SQL database source ------------------------------------------------
+
+def sql_source_events(sf_dir: str) -> pd.DataFrame:
+    """SQL source → distributed pipeline: DuckDB executes a selective
+    extraction query (the system-of-record side), Ray distributes the
+    downstream aggregate. The oracle computes the full result in SQL, so the
+    handoff must be lossless."""
+    from ..sources import read_sql_typed
+
+    q = (f"SELECT user_id, event_type, value "
+         f"FROM read_parquet('{_t(sf_dir, 'events')}') "
+         f"WHERE event_type IN ('purchase', 'signup')")
+    ds = read_sql_typed(q, override_num_blocks=8)
+    out = (ds.groupby(["user_id", "event_type"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return _round(_stab(out, {"sum_value": 2}),
+                  {"sum_value": 2})[["user_id", "event_type", "n", "sum_value"]]
+
+
+SQL_SQL_SOURCE_EVENTS = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY user_id, event_type
+"""

@@ -79,6 +79,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
         "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
         "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
+        "sql_source_events": P.sql_source_events,
         "timeseries_fill_hourly": P.timeseries_fill_hourly,
         "scaler_moments_lineitem": P.scaler_moments_lineitem,
         "dict_encode_docs": P.dict_encode_docs,
@@ -135,6 +136,7 @@ def build_oracle_sql() -> dict[str, str]:
         "tfrecord_roundtrip_docs": P.SQL_TFRECORD_ROUNDTRIP_DOCS,
         "arrow_ipc_roundtrip_nation": P.SQL_ARROW_IPC_ROUNDTRIP_NATION,
         "jsonl_roundtrip_events": P.SQL_JSONL_ROUNDTRIP_EVENTS,
+        "sql_source_events": P.SQL_SQL_SOURCE_EVENTS,
         "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,

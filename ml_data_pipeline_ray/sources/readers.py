@@ -268,3 +268,29 @@ def read_csv_from_row(path: str, start_row: int,
 def write_csv(ds: rd.Dataset, out_dir: str, **kw) -> None:
     """Dataset → directory of CSV part files (K1)."""
     ds.write_csv(out_dir, **kw)
+
+
+def read_sql_typed(query: str, db_path: str | None = None,
+                   override_num_blocks: int | None = None) -> rd.Dataset:
+    """SQL database source (S11 — the reference declares a ``database``
+    feature, sqlx, with error variants only: ``ml-data-readers/src/
+    lib.rs:17-21``, ``error.rs:36-39``). Executes ``query`` in DuckDB
+    (in-process; ``db_path`` opens a persistent database) and hands the
+    Arrow result to Ray as a Dataset — the standard head-node ingest for a
+    SQL system of record, with all downstream transforms distributed.
+
+    Scale note: the query result materializes on the caller before
+    sharding (inherent to a single SQL endpoint); for large extractions,
+    issue range-partitioned queries (one per key range) and ``union`` the
+    per-range datasets so each range ships independently."""
+    import duckdb
+
+    con = duckdb.connect(db_path) if db_path else duckdb.connect()
+    try:
+        tbl = con.sql(query).arrow()
+    finally:
+        con.close()
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    return rd.from_arrow(tbl, **kw)

@@ -76,6 +76,7 @@ QUERY_NAMES = [
     "csv_inference_messy", "csv_seek_supplier", "text_lines_docs",
     "tfrecord_roundtrip_docs",
     "arrow_ipc_roundtrip_nation", "jsonl_roundtrip_events",
+    "sql_source_events",
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
     "setops_event_users", "multimodal_sniff_decode",
 ]
