@@ -123,3 +123,53 @@ def test_nested_struct_column_through_cdc_replay(tmp_path, exchange):
     assert rows["c1"]["text"] == "t1b"
 
 
+
+
+def test_align_to_schema_randomized_evolution_chains():
+    """Randomized widening chains: for random (source, target) pairs drawn
+    from the lattice (numeric widening, decimal precision growth, struct
+    field addition, list element widening), align_to_schema must preserve
+    values exactly and produce the target schema."""
+    import random
+
+    from decimal import Decimal
+
+    from ml_data_pipeline_ray.stages.transforms import align_to_schema
+
+    rng = random.Random(99)
+    numeric_chain = [pa.int32(), pa.int64(), pa.float64()]
+    for trial in range(25):
+        i = rng.randrange(len(numeric_chain))
+        j = rng.randrange(i, len(numeric_chain))
+        src_n, dst_n = numeric_chain[i], numeric_chain[j]
+        n_struct_src = rng.randrange(1, 3)
+        n_struct_dst = rng.randrange(n_struct_src, 4)
+        sfields = [(f"f{k}", pa.string()) for k in range(n_struct_dst)]
+        src_struct = pa.struct(sfields[:n_struct_src])
+        dst_struct = pa.struct(sfields)
+        src = pa.schema([("a", src_n), ("l", pa.list_(src_n)),
+                         ("s", src_struct),
+                         ("d", pa.decimal128(7, 2))])
+        dst = pa.schema([("a", dst_n), ("l", pa.list_(dst_n)),
+                         ("s", dst_struct),
+                         ("d", pa.decimal128(rng.randrange(7, 30), 2)),
+                         ("new", pa.string())])
+        vals = [rng.randrange(-1000, 1000) for _ in range(5)]
+        batch = pa.table({
+            "a": pa.array(vals, src_n),
+            "l": pa.array([[v] for v in vals], pa.list_(src_n)),
+            "s": pa.array([{f"f{k}": f"v{k}-{x}" for k in range(n_struct_src)}
+                           for x in range(5)], src_struct),
+            "d": pa.array([Decimal(f"{v}.25") for v in vals],
+                          pa.decimal128(7, 2)),
+        })
+        out = align_to_schema(batch, dst)
+        assert out.schema == dst, trial
+        assert [int(v) for v in out["a"].to_pylist()] == vals
+        assert [int(x[0]) for x in out["l"].to_pylist()] == vals
+        for x, row in enumerate(out["s"].to_pylist()):
+            for k in range(n_struct_dst):
+                want = f"v{k}-{x}" if k < n_struct_src else None
+                assert row[f"f{k}"] == want
+        assert out["d"].to_pylist() == [Decimal(f"{v}.25") for v in vals]
+        assert out["new"].null_count == 5
