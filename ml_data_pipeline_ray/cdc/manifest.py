@@ -134,11 +134,17 @@ class LakeManifest:
             _write_json_exclusive(mpath, manifest)
         except FileExistsError:
             # The engine requires exactly ONE writer per lake (standard for a
-            # WAL applier). An existing file at an uncommitted version is
-            # crash debris from this writer's prior attempt — _CURRENT never
-            # advanced, so no reader can have observed it; replace it. A live
-            # concurrent writer racing on the same version turns into this
-            # hard-to-miss collision instead of a silent lost update.
+            # WAL applier). An existing file at this version is only crash
+            # debris from this writer's prior attempt if _CURRENT still
+            # points BELOW it (no reader can have observed it); re-check
+            # before replacing. If _CURRENT already reached this version, a
+            # concurrent writer committed it in the window since our load() —
+            # unlinking would silently destroy THEIR committed manifest, so
+            # fail loudly instead.
+            if self.current_version() >= version:
+                raise ValueError(
+                    f"stale transaction: v{version} was committed by a "
+                    f"concurrent writer (single-writer contract violated)")
             os.unlink(mpath)
             _write_json_exclusive(mpath, manifest)
         _atomic_write_json(os.path.join(self.lake_dir, CURRENT_POINTER),

@@ -59,6 +59,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from ..sources.readers import read_parquet
 from .manifest import LakeManifest
 
 # internal column names (never user-facing)
@@ -462,7 +463,7 @@ class CDCEngine:
         # no schema= at the read: evolved struct columns cannot be cast by
         # the parquet scanner; each batch aligns to the unified schema inside
         # the normalizer instead (same lattice as the direct path)
-        ds = rd.read_parquet(files, filter=flt)
+        ds = read_parquet(files, filter=flt)
         ds = ds.map_batches(
             _make_normalizer(in_schema, self.key, self.lsn_col, self.op_col,
                              self.num_partitions, self.salts,
@@ -664,7 +665,7 @@ class CDCEngine:
         if not pfiles:
             raise ValueError("lake is empty (no committed transactions)")
         schema = unify_parquet_schemas(pfiles)
-        ds = rd.read_parquet(pfiles, schema=schema,
+        ds = read_parquet(pfiles, schema=schema,
                              filter=~pc.field(LAKE_DELETED_COL))
         drop = [LAKE_LSN_COL, LAKE_DELETED_COL]
         user_cols = [n for n in schema.names if n not in drop]

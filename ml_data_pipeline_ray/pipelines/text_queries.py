@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..sources.readers import read_parquet
 from ..stages import text as T
 from ..stages.ann import brute_force_topk, cosine_pairs_bucketed, ivf_topk
 from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
@@ -29,14 +30,14 @@ COSINE_THRESHOLD = 0.4
 # -- documents: token stats / quality / language id -------------------------
 
 def docs_token_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(T.add_token_stats, batch_format="pyarrow",
                          zero_copy_batch=True)
     return out.select_columns(["doc_id", "n_tokens", "n_chars_text"]).to_pandas()
 
 
 def docs_quality_by_source(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
     def metrics(b: pa.Table) -> pa.Table:
         b = T.add_quality_metrics(b)
         return b.append_column(
@@ -57,7 +58,7 @@ def docs_quality_by_source(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_langid(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
     out = (ds.map_batches(T.add_lang_pred, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("lang_pred").aggregate(Count(alias_name="n"))).to_pandas()
@@ -66,7 +67,7 @@ def docs_langid(sf_dir: str) -> pd.DataFrame:
 
 def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
     """Rolling-hash fingerprints (rows-only check: no SQL equivalent)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(T.Fingerprinter(), batch_format="pyarrow",
                          concurrency=2).to_pandas()
     out["fp_content"] = out["fp_content"].apply(lambda v: f"{v:016x}")
@@ -77,14 +78,14 @@ def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
 # -- exact dedup ------------------------------------------------------------
 
 def dedup_exact_events(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "event_type", "props"])
     out = exact_dedup(ds, cols=["event_type", "props"], order_col="event_id")
     return out.to_pandas()[["event_id", "event_type", "props"]]
 
 
 def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text", "n_chars"])
     out = exact_dedup(ds, cols=["text"], order_col="doc_id")
     return out.to_pandas()[["doc_id", "n_chars"]]
@@ -102,7 +103,7 @@ def _sample_ds(sf_dir: str, bound: str) -> rd.Dataset:
     scale = scale_for_sf_dir(sf_dir)
     fixture_paths(scale)
     files = sorted(glob.glob(transcripts_glob(scale)))
-    ds = rd.read_parquet(files, filter=pc.field("conv_id") <= bound,
+    ds = read_parquet(files, filter=pc.field("conv_id") <= bound,
                          columns=["conv_id", "turn_idx", "text"])
     return ds.map_batches(_rid_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -149,7 +150,7 @@ def neardup_embedding(sf_dir: str) -> pd.DataFrame:
     assignment + one groupby(bucket) shuffle; no whole-dataset broadcast.
     Probe width is sized so the result is exact on this corpus (asserted
     against the all-pairs oracle in tests and by the SQL oracle here)."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     pairs = cosine_pairs_bucketed(ds, threshold=COSINE_THRESHOLD,
                                   n_centroids=16, nprobe=6)
@@ -165,7 +166,7 @@ def _queries(sf_dir: str, n: int = 10):
 
 
 def ann_topk(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     ids, m = _queries(sf_dir)
     return brute_force_topk(ds, ids, m, k=10)
@@ -174,7 +175,7 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN (approximate — rows-only check; recall vs brute
     force is asserted in tests)."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     ids, m = _queries(sf_dir)
     return ivf_topk(ds, ids, m, k=10, n_centroids=16, nprobe=6)
@@ -185,7 +186,7 @@ def neardup_minhash_docs(sf_dir: str) -> pd.DataFrame:
     2 hashes/band x 64 bands keeps candidate-miss probability ~1e-8 at the
     lower threshold; verification is the distributed exact-Jaccard pass, so
     the output equals the all-pairs oracle."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(ds, id_col="doc_id",
                                    num_hashes=128, num_bands=64)
     out = verify_candidate_pairs(ds, cand, id_col="doc_id",

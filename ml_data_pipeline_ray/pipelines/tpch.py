@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..sources.readers import read_parquet
 from ..stages.joins import (auto_join, broadcast_join,
                             broadcast_semi_join, hash_join)
 from ..stages.predicates import And, Compare
@@ -33,6 +34,16 @@ from ..stages.predicates import And, Compare
 
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
+    """Materialize a SMALL result Dataset as one Arrow table, preserving
+    exact types (int64-with-null stays int64 — ``to_pandas`` would promote
+    to float64/NaN). Empty shuffle partitions produce schema-less 0-row
+    blocks; drop them before concat."""
+    import ray as _ray
+    tables = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def _haround(x, nd: int):
@@ -68,7 +79,7 @@ def _stab(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax", "l_shipdate"]
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols,
+    ds = read_parquet(_t(sf_dir, "lineitem"), columns=cols,
                          filter=(pc.field("l_shipdate")
                                  <= pa.scalar(pd.Timestamp("2000-01-01"))))
 
@@ -108,7 +119,7 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
          & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
          & (pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
          & (pc.field("l_quantity") < 24))
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_extendedprice", "l_discount",
                                   "l_quantity", "l_shipdate"], filter=f)
     out = ds.map_batches(
@@ -125,7 +136,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                          columns=["c_custkey", "c_mktsegment"])
     keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
                ["c_custkey"].to_pylist())
-    orders = rd.read_parquet(
+    orders = read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
@@ -136,7 +147,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                                     "o_orderpriority"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    li = rd.read_parquet(
+    li = read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pc.field("l_shipdate") > pa.scalar(pd.Timestamp("1999-01-01")))
@@ -186,11 +197,11 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         nat.select(["n_nationkey", "n_name"]).to_pandas(),
         left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
     orders = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
                             on=["o_custkey"])
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(lambda t: t.rename_columns(
         ["o_orderkey", "l_extendedprice", "l_discount"]), batch_format="pyarrow")
@@ -211,14 +222,14 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 def top_orders(sf_dir: str) -> pd.DataFrame:
     from ..stages.topk import topk
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
     out = topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
     return _round(out, {"o_totalprice": 2})
 
 
 def orders_per_priority(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderpriority", "o_totalprice"])
     out = (ds.groupby("o_orderpriority")
            .aggregate(Count(alias_name="n_orders"),
@@ -229,7 +240,7 @@ def orders_per_priority(sf_dir: str) -> pd.DataFrame:
 
 
 def customer_segments(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = read_parquet(_t(sf_dir, "customer"),
                          columns=["c_mktsegment", "c_acctbal"])
     out = (ds.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_customers"),
@@ -243,7 +254,7 @@ def customer_segments(sf_dir: str) -> pd.DataFrame:
 
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "part"),
+    ds = read_parquet(_t(sf_dir, "part"),
                          columns=["p_brand", "p_retailprice"])
     out = (ds.groupby("p_brand")
            .aggregate(Count(alias_name="n_parts"),
@@ -256,7 +267,7 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
 def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"])
-    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+    ds = read_parquet(_t(sf_dir, "supplier"),
                          columns=["s_nationkey", "s_acctbal"])
     ds = broadcast_join(ds, nation.rename_columns(["s_nationkey", "n_name"]),
                         on=["s_nationkey"])
@@ -293,7 +304,7 @@ def part_filter_string_predicates(sf_dir: str) -> pd.DataFrame:
     is applied at the read (non-eligible ops evaluate post-scan inside the
     scanner) and the oracle WHERE clause renders from the SAME AST."""
     assert not PART_PRED.can_push_down()  # documents eligibility reporting
-    ds = rd.read_parquet(_t(sf_dir, "part"),
+    ds = read_parquet(_t(sf_dir, "part"),
                          columns=["p_name", "p_brand", "p_type", "p_size",
                                   "p_retailprice"],
                          filter=PART_PRED.to_expression())
@@ -306,7 +317,7 @@ def part_filter_string_predicates(sf_dir: str) -> pd.DataFrame:
 def lineitem_filter_predicates(sf_dir: str) -> pd.DataFrame:
     """Composed predicate AST pushed into the parquet read; the oracle WHERE
     clause is rendered from the SAME AST via ``to_sql()``."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_quantity", "l_shipdate",
                                   "l_extendedprice"],
                          filter=LINEITEM_PRED.to_expression())
@@ -319,7 +330,7 @@ def lineitem_filter_predicates(sf_dir: str) -> pd.DataFrame:
 # -- events -----------------------------------------------------------------
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
     def hour(b: pa.Table) -> pa.Table:
@@ -336,7 +347,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: per user, count sessions split at >30 min gaps.
     Implemented as groupby(user).map_groups over ts-sorted groups (the
     streaming-window pattern for an engine without event-time windows)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -350,7 +361,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
 
 
 def events_user_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_type", "value"],
                          filter=pc.field("event_type") == "purchase")
     out = (ds.groupby("user_id")
@@ -363,7 +374,7 @@ def events_systematic_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 5% systematic sample (event_id % 20 == 0) — the seeded/
     reproducible sampling path (O4); random_sample() exists but cannot share
     an oracle across engines."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "event_type", "value"])
     def mod20(t: pa.Table) -> pa.Table:
         # event_id % 20 == 0 (pyarrow has no modulo kernel: a - (a/20)*20)
@@ -382,9 +393,9 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
     """Dataset.union (U1): purchases UNION ALL error events, counted per type
     per user bucket."""
     base = ["user_id", "event_type", "value"]
-    a = rd.read_parquet(_t(sf_dir, "events"), columns=base,
+    a = read_parquet(_t(sf_dir, "events"), columns=base,
                         filter=pc.field("event_type") == "purchase")
-    b = rd.read_parquet(_t(sf_dir, "events"), columns=base,
+    b = read_parquet(_t(sf_dir, "events"), columns=base,
                         filter=pc.field("event_type") == "error")
     u = a.union(b)
     out = (u.groupby("event_type")
@@ -397,7 +408,7 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     """Semi-structured parsing: extract the integer ``k`` from the JSON-ish
     ``props`` string column with a vectorized Arrow regex (T8 parser family)
     and aggregate per event type."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def parse(b: pa.Table) -> pa.Table:
         m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
@@ -419,16 +430,19 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
     from ..stages.joins import asof_join
 
     def side(event_type: str) -> rd.Dataset:
-        return rd.read_parquet(_t(sf_dir, "events"),
+        return read_parquet(_t(sf_dir, "events"),
                                columns=["user_id", "event_id", "ts",
                                         "event_type"],
                                filter=pc.field("event_type") == event_type
                                ).select_columns(["user_id", "event_id", "ts"])
 
     joined = asof_join(side("purchase"), side("click"), by="user_id", on="ts")
-    out = joined.to_pandas()
-    out = out.rename(columns={"event_id_r": "click_event_id"})
-    return out[["user_id", "event_id", "click_event_id"]]
+    # Collect as Arrow (small result) so click_event_id stays int64-with-null
+    # rather than pandas' float64-with-NaN — the driver's value hash is exact.
+    tbl = _collect_arrow(joined)
+    tbl = tbl.rename_columns(
+        ["click_event_id" if c == "event_id_r" else c for c in tbl.column_names])
+    return tbl.select(["user_id", "event_id", "click_event_id"])
 
 
 def events_range_click_count(sf_dir: str) -> pd.DataFrame:
@@ -438,7 +452,7 @@ def events_range_click_count(sf_dir: str) -> pd.DataFrame:
     from ..stages.joins import range_join_count
 
     def side(event_type: str) -> rd.Dataset:
-        return rd.read_parquet(_t(sf_dir, "events"),
+        return read_parquet(_t(sf_dir, "events"),
                                columns=["user_id", "event_id", "ts",
                                         "event_type"],
                                filter=pc.field("event_type") == event_type
@@ -447,15 +461,16 @@ def events_range_click_count(sf_dir: str) -> pd.DataFrame:
     out = range_join_count(side("purchase"), side("click"), by="user_id",
                            on="ts", lo_offset=np.timedelta64(-1, "h"),
                            hi_offset=np.timedelta64(0, "h"),
-                           count_col="n_clicks_1h").to_pandas()
-    return out[["user_id", "event_id", "n_clicks_1h"]]
+                           count_col="n_clicks_1h")
+    tbl = _collect_arrow(out)
+    return tbl.select(["user_id", "event_id", "n_clicks_1h"])
 
 
 def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
     """Rolling event-time window (3h moving sum over the hourly aggregate,
     gap-aware RANGE semantics): per event_type, sum of the stabilized hourly
     values in (hour - 3h, hour]."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
     def hour(b: pa.Table) -> pa.Table:
@@ -488,7 +503,7 @@ def csv_roundtrip_supplier(sf_dir: str) -> pd.DataFrame:
 
     from ..sources import read_csv_typed
 
-    ds = rd.read_parquet(_t(sf_dir, "supplier"))
+    ds = read_parquet(_t(sf_dir, "supplier"))
     out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
     ds.write_csv(out_dir)
     back = read_csv_typed(sorted(_glob.glob(out_dir + "/*")))
@@ -501,7 +516,7 @@ def events_onehot(sf_dir: str) -> pd.DataFrame:
     event_type; indicator-column sums are the verifiable output."""
     from ..stages.encoders import OneHotEncoder
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     enc = OneHotEncoder("event_type").fit(ds)
     out = enc.transform(ds)
     aggs = [Sum(f"event_type_{c}", alias_name=f"n_{c}") for c in enc.categories]
@@ -510,6 +525,6 @@ def events_onehot(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pd.DataFrame({"event_type": vals})

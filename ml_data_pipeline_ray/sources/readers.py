@@ -30,7 +30,26 @@ import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 import ray.data as rd
 
-from ..stages.transforms import infer_schema, parse_bool_synonyms
+from ..stages.transforms import infer_schema
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Zero-copy drop of schema-level metadata (e.g. the ``b'pandas'`` blob
+    parquet files written via pandas carry). Schemas with metadata are
+    unhashable, which defeats Ray Data's block-schema deduplication
+    (``transform_pyarrow.unify_schemas`` falls off its early-exit path and
+    logs a warning per block set)."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
+def read_parquet(paths, **kwargs) -> rd.Dataset:
+    """``ray.data.read_parquet`` + fused zero-copy schema-metadata strip.
+    All engine pipelines read parquet through this so external files written
+    by pandas don't poison schema dedup across the whole downstream plan."""
+    return rd.read_parquet(paths, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def from_paths(paths: list[str]) -> rd.Dataset:
@@ -70,6 +89,41 @@ def detect_format(path: str) -> str:
     return "text"
 
 
+def _strip_comment_lines(data: bytes, comment: str) -> bytes:
+    """Remove comment lines at RECORD starts only. The reference delegates to
+    the Rust csv crate's ``comment`` option, where a line is a comment iff
+    its first RAW byte is the comment char at a record boundary — a quoted
+    data field beginning with the char (``"#tag",5``) is data, and a ``#``
+    at the start of a continuation line inside a multi-line quoted field is
+    field content. Per-line quote counts are vectorized; the sequential
+    record-boundary state loop only runs when quotes are actually present."""
+    cb = comment.encode()[0]
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return data
+    nl = np.flatnonzero(buf == ord("\n"))
+    starts = np.concatenate(([0], nl + 1))
+    if starts[-1] >= buf.size:
+        starts = starts[:-1]
+    ends = np.concatenate((nl + 1, [buf.size]))[:starts.size]
+    iscmt = buf[starts] == cb
+    if not iscmt.any():
+        return data
+    qodd = (np.add.reduceat((buf == ord('"')).astype(np.int64), starts) % 2
+            ).astype(bool)
+    if not qodd.any():
+        keep = ~iscmt
+    else:
+        keep = np.ones(starts.size, dtype=bool)
+        inq = False
+        for i in range(starts.size):
+            if not inq and iscmt[i]:
+                keep[i] = False          # comment consumes the raw line
+            elif qodd[i]:
+                inq = not inq            # quoted field spans into next line
+    return b"".join(data[starts[i]:ends[i]] for i in np.flatnonzero(keep))
+
+
 def read_csv_typed(paths: str | list[str], *, delimiter: str = ",",
                    has_header: bool = True,
                    column_names: list[str] | None = None,
@@ -85,15 +139,23 @@ def read_csv_typed(paths: str | list[str], *, delimiter: str = ",",
     first = paths[0]
 
     if schema is None:
-        with open(first, newline="") as f:
-            rdr = _csv.reader(f, delimiter=delimiter)
-            rows = []
-            for row in rdr:
-                if comment and row and row[0].startswith(comment):
-                    continue
-                rows.append(row)
-                if len(rows) > schema_inference_rows:
-                    break
+        # bounded prefix read (8 MiB covers schema_inference_rows for any
+        # sane CSV); comment stripping is record-boundary-aware, not a
+        # parsed-value prefix test
+        with open(first, "rb") as f:
+            raw = f.read(8 << 20)
+            truncated = f.read(1) != b""
+        if comment:
+            raw = _strip_comment_lines(raw, comment)
+        text = raw.decode("utf-8", errors="replace")
+        lines = text.splitlines(keepends=True)
+        if truncated and lines:
+            lines = lines[:-1]           # drop the possibly partial tail line
+        rows = []
+        for row in _csv.reader(lines, delimiter=delimiter):
+            rows.append(row)
+            if len(rows) > schema_inference_rows:
+                break
         if has_header:
             names = rows[0]
             body = rows[1:]
@@ -104,42 +166,33 @@ def read_csv_typed(paths: str | list[str], *, delimiter: str = ",",
 
     read_options = pacsv.ReadOptions(
         column_names=None if has_header else schema.names)
-
-    if comment is not None:
-        # Arrow CSV has no comment support: read every column as string
-        # (comment lines with a mismatched field count are skipped by the
-        # invalid-row handler), drop remaining comment rows with a vectorized
-        # prefix filter, then cast to the inferred/declared schema. Fully
-        # distributed — no driver-side preprocessing.
-        parse_options = pacsv.ParseOptions(
-            delimiter=delimiter, invalid_row_handler=lambda row: "skip")
-        str_convert = pacsv.ConvertOptions(
-            column_types={n: pa.string() for n in schema.names})
-        ds = rd.read_csv(paths, read_options=read_options,
-                         parse_options=parse_options,
-                         convert_options=str_convert)
-        first_col = schema.names[0]
-
-        def strip_and_cast(b: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.starts_with(
-                pc.fill_null(b[first_col], ""), comment))
-            b = b.filter(mask)
-            for f in schema:
-                pos = b.column_names.index(f.name)
-                if f.type == pa.bool_():
-                    b = parse_bool_synonyms(b, f.name)
-                elif f.type != pa.string():
-                    b = b.set_column(pos, f.name, b[f.name].cast(f.type))
-            return b
-
-        return ds.map_batches(strip_and_cast, batch_format="pyarrow",
-                              zero_copy_batch=True)
-
     parse_options = pacsv.ParseOptions(delimiter=delimiter)
     convert_options = pacsv.ConvertOptions(
         column_types={f.name: f.type for f in schema},
         true_values=["true", "1", "yes", "y", "t", "True", "TRUE"],
-        false_values=["false", "0", "no", "n", "f", "False", "FALSE"])
+        false_values=["false", "0", "no", "n", "f", "FALSE", "False"])
+
+    if comment is not None:
+        # Arrow CSV has no comment support; the reference's Rust csv crate
+        # treats a line as a comment only when its raw first byte is the
+        # comment char at a record boundary. Strip on the RAW bytes inside
+        # each file's own Ray task (file-parallel, nothing on the driver),
+        # then parse typed as usual.
+        def read_one(b: pa.Table) -> pa.Table:
+            tables = []
+            for p in b.column("path").to_pylist():
+                with open(p, "rb") as f:
+                    data = _strip_comment_lines(f.read(), comment)
+                tables.append(pacsv.read_csv(
+                    pa.BufferReader(pa.py_buffer(data)),
+                    read_options=read_options,
+                    parse_options=parse_options,
+                    convert_options=convert_options))
+            return pa.concat_tables(tables)
+
+        return from_paths(paths).map_batches(read_one, batch_format="pyarrow",
+                                             batch_size=None)
+
     return rd.read_csv(paths, read_options=read_options,
                        parse_options=parse_options,
                        convert_options=convert_options)
@@ -249,8 +302,21 @@ def read_csv_from_row(path: str, start_row: int,
             else:
                 body = f.read()
     if schema is None:
-        rows = list(_csv.reader(body.decode("utf-8").splitlines()[:schema_inference_rows],
-                                delimiter=delimiter))
+        # infer through the quote-aware parser (a naive splitlines would
+        # shatter quoted fields with embedded newlines into bogus records):
+        # parse the window all-string with Arrow CSV, then run the reference
+        # inference chain over the first rows
+        if body:
+            str_tbl = pacsv.read_csv(
+                pa.BufferReader(pa.py_buffer(body)),
+                read_options=pacsv.ReadOptions(column_names=names),
+                parse_options=pacsv.ParseOptions(delimiter=delimiter),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={n: pa.string() for n in names}))
+            head = str_tbl.slice(0, schema_inference_rows)
+            rows = list(map(list, zip(*(head[n].to_pylist() for n in names))))
+        else:
+            rows = []
         schema = infer_schema(rows, names, schema_inference_rows)
     if not body:
         return schema.empty_table()

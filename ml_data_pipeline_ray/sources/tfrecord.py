@@ -9,9 +9,10 @@ Record framing per the TFRecord spec (and the reference's implementation,
 The reference's CRC32 is a stub returning 0 (``binary.rs:385-389``); we
 implement the real masked CRC32C when the ``crc32c`` lib is available and
 otherwise fall back to zlib's CRC32 with the TFRecord mask. The active
-implementation is surfaced as ``CRC_IMPL``, attached to every read table's
-schema metadata (``crc_impl`` key), warned about on write, and named in CRC
-verification errors — fallback-written files are internally consistent but
+implementation is surfaced as the module attribute ``CRC_IMPL``, warned
+about on write, and named in CRC verification errors (NOT attached as schema
+metadata — pyarrow schemas with metadata are unhashable, which defeats Ray
+Data's block-schema deduplication and floods logs) — fallback-written files are internally consistent but
 NOT spec-valid TFRecords, and genuine TFRecord files fail fallback
 verification (read them with ``verify_crc=False``).
 
@@ -98,7 +99,7 @@ def read_tfrecord_file(path: str, verify_crc: bool = True) -> pa.Table:
         "data": pa.array(datas, type=pa.binary()),
         "offset": pa.array(offsets, type=pa.int64()),
         "length": pa.array(lengths, type=pa.int32()),
-    }).replace_schema_metadata({"crc_impl": CRC_IMPL})
+    })
 
 
 def read_tfrecords(paths: str | list[str], verify_crc: bool = True,

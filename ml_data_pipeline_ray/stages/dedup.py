@@ -241,12 +241,22 @@ class _ShingleEmitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
+        import pyarrow.compute as pc
         if self.members is None:
             self.members = (ray.get(self._ref)
                             if not isinstance(self._ref, dict) else self._ref)
+            self._member_ids = pa.array(list(self.members))
+        # vectorized membership: narrow the batch to candidate rows with one
+        # is_in kernel; the per-membership Python expansion below only ever
+        # touches the (tiny) matched set
+        vs = self._member_ids
+        col = batch.column(self.id_col)
+        if vs.type != col.type:
+            vs = vs.cast(col.type)
+        batch = batch.filter(pc.fill_null(pc.is_in(col, value_set=vs), False))
         ids = batch.column(self.id_col).to_pylist()
         rows = [(i, pidx, side) for i, x in enumerate(ids)
-                for (pidx, side) in self.members.get(x, ())]
+                for (pidx, side) in self.members[x]]
         if not rows:
             return pa.table({"pair_idx": pa.array([], pa.int64()),
                              "side": pa.array([], pa.int8()),

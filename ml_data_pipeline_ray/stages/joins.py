@@ -77,6 +77,14 @@ class _BroadcastJoiner:
                 if small.schema.field(k).type != bt:
                     small = small.set_column(
                         small.column_names.index(k), k, small[k].cast(bt))
+            # rename colliding non-key columns with the same "_r" suffix
+            # hash_join uses, so both auto_join arms produce one schema
+            # (Table.join has no suffix support and would raise on select)
+            ren = {c: c + "_r" for c in small.column_names
+                   if c in batch.column_names and c not in self.on}
+            if ren:
+                small = small.rename_columns(
+                    [ren.get(c, c) for c in small.column_names])
             self._small = small
             self._out_cols = (batch.column_names
                               + [c for c in small.column_names
@@ -229,12 +237,26 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
                             zero_copy_batch=True).union(
         right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    # Exact output schema: left columns keep the left types, right value
+    # columns keep the RIGHT types (nullable — unmatched left rows pad with
+    # null). Emitting Arrow with this schema from the group kernel prevents
+    # pandas' null-introduced float64/NaN promotion from leaking into the
+    # result (int64-with-null stays int64-with-null).
+    out_schema = pa.schema(
+        [lschema.field(c) for c in lcols]
+        + [pa.field(rrename[f.name], f.type) for f in rschema
+           if rrename[f.name] in rcols])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
         rg = g[g["_side"] == 1][[on] + rcols].sort_values(on, kind="mergesort")
         if len(lg) == 0:
-            return lg.assign(**{c: pd.Series(dtype=rg[c].dtype) for c in rcols})
-        return pd.merge_asof(lg, rg, on=on, direction=direction)
+            out = lg.assign(**{c: pd.Series(dtype=rg[c].dtype) for c in rcols})
+        else:
+            out = pd.merge_asof(lg, rg, on=on, direction=direction)
+        return pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return both.groupby(by).map_groups(join_group, batch_format="pandas")
 
@@ -271,7 +293,14 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         right.map_batches(tag(1, [by, on]), batch_format="pyarrow",
                           zero_copy_batch=True))
 
-    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+    # Exact output schema (left columns + int64 count): the tagged union pads
+    # right-side rows with nulls, which makes pandas promote left int columns
+    # to float64 for the whole group — cast back when emitting so the output
+    # dtypes match the left input exactly.
+    out_schema = pa.schema([lschema.field(c) for c in lcols]
+                           + [pa.field(count_col, pa.int64())])
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == 0][lcols]
         rts = np.sort(g.loc[g["_side"] == 1, on].to_numpy())
         lts = lg[on].to_numpy()
@@ -279,9 +308,52 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         hi = np.searchsorted(rts, lts + hi_offset, side="right")
         out = lg.copy()
         out[count_col] = (hi - lo).astype(np.int64)
-        return out
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return both.groupby(by).map_groups(count_group, batch_format="pandas")
+
+
+#: per-bucket in-memory target: each bucket materializes as ONE map_groups
+#: group in a worker heap, so buckets must be bytes-bounded, not just
+#: core-count-bounded — at 100 TB a cores-only bucket count would put ~1 TB
+#: in a single group.
+_TARGET_BUCKET_BYTES = 512 << 20
+
+#: conservative parquet-compressed -> in-memory Arrow expansion factor
+_PARQUET_EXPANSION = 3
+
+
+def _estimate_input_bytes(ds: rd.Dataset) -> int | None:
+    """Cheap (metadata-only) in-memory size estimate from the plan's input
+    files. ``Dataset.size_bytes()`` executes mapped plans, so it can't be
+    used here; on-disk parquet bytes x expansion overestimates when columns
+    were pruned, which errs toward MORE buckets (safe direction)."""
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return None
+    return total * _PARQUET_EXPANSION
+
+
+def _choose_num_buckets(est_bytes: int | None, cpus: int) -> int:
+    """Bytes-per-bucket target with a 3x-cores floor: enough groups to keep
+    every core busy, and no group larger than ~_TARGET_BUCKET_BYTES in
+    memory (the per-group memory bound of the bucketed join)."""
+    floor = max(16, 3 * cpus)
+    if not est_bytes:
+        return floor
+    return max(floor, -(-est_bytes // _TARGET_BUCKET_BYTES))
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
@@ -297,15 +369,18 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     one bucket (guaranteed by the hash); skew in a single key cannot be
     split — salt by replicating the small side if needed.
 
-    ``num_buckets`` defaults to ~3x the cluster CPU count (enough groups to
-    keep every core busy through the join stage without oversharding the
-    shuffle).
-    """
+    ``num_buckets`` defaults to data-size-aware: ``total input bytes /
+    ~512 MiB`` with a 3x-cores floor, so each bucket group stays within a
+    worker's heap no matter the input scale (a cores-only default would put
+    ~1 TB per group at 100 TB)."""
     from .transforms import align_to_schema
 
     if num_buckets is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_buckets = max(16, 3 * cpus)
+        est_l = _estimate_input_bytes(left)
+        est_r = _estimate_input_bytes(right)
+        est = (est_l or 0) + (est_r or 0)
+        num_buckets = _choose_num_buckets(est or None, cpus)
 
     lschema = _pa_schema(left)
     rschema = _pa_schema(right)

@@ -79,7 +79,7 @@ def fill_gaps(df: pd.DataFrame, ts_col: str, value_cols: list[str],
 
 def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
                        value_cols: list[str], freq: str,
-                       method: str = "forward") -> rd.Dataset:
+                       method: str = "forward", pre=None) -> rd.Dataset:
     """Distributed per-key gap fill: one shuffle on ``key``, then each series
     regularizes independently inside ``map_groups``.
 
@@ -89,9 +89,17 @@ def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
     path: keys are hash-grouped into ~2x-cores buckets and every series in a
     bucket fills in one numpy pass — thousands of per-key Python calls
     collapse to one call per bucket. Off-grid or ``linear`` inputs use the
-    per-key pandas kernel."""
+    per-key pandas kernel.
+
+    ``pre`` (optional, Arrow table -> Arrow table) is fused into the bucket
+    tag pass so a caller's per-batch pre-transform (e.g. decimal
+    stabilization of aggregate sums) doesn't cost its own map stage between
+    the aggregate and fill shuffles."""
     if method in ("forward", "backward", "zero", "nan"):
-        return _regularize_bucketed(ds, key, ts_col, value_cols, freq, method)
+        return _regularize_bucketed(ds, key, ts_col, value_cols, freq, method,
+                                    pre=pre)
+    if pre is not None:
+        ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     other = [key] + value_cols
 
     def fix(g: pd.DataFrame) -> pd.DataFrame:
@@ -167,7 +175,8 @@ def _fill_many(g: pd.DataFrame, key: str, ts_col: str,
 
 def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
                          value_cols: list[str], freq: str, method: str,
-                         num_buckets: int | None = None) -> rd.Dataset:
+                         num_buckets: int | None = None,
+                         pre=None) -> rd.Dataset:
     import pyarrow as pa
     import ray
 
@@ -179,6 +188,8 @@ def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
     cols = [key, ts_col] + value_cols
 
     def tag(batch: pa.Table) -> pa.Table:
+        if pre is not None:
+            batch = pre(batch)
         kv = batch.column(key).to_numpy(zero_copy_only=False)
         b = (pd.util.hash_array(kv, categorize=True)
              % np.uint64(num_buckets)).astype(np.int32)

@@ -25,17 +25,43 @@ BOOL_TRUE = {"true", "1", "yes", "y", "t"}
 BOOL_FALSE = {"false", "0", "no", "n", "f"}
 
 
+def _combined(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _offsets_with_validity(arr) -> pa.Array:
+    """A (large_)list/map array's offsets with the parent's nulls marked, so
+    ``ListArray.from_arrays`` round-trips null entries."""
+    off = arr.offsets
+    if not arr.null_count:
+        return off
+    import numpy as np
+    offnp = off.to_numpy(zero_copy_only=False)
+    valid = np.concatenate(
+        (arr.is_valid().to_numpy(zero_copy_only=False), [True]))
+    return pa.array(offnp, type=off.type, mask=~valid)
+
+
+def _is_listish(t: pa.DataType) -> bool:
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t))
+
+
 def _align_column(col: pa.ChunkedArray | pa.Array,
                   target: pa.DataType) -> pa.ChunkedArray | pa.Array:
     """Recursively align one column to ``target`` — the reference's
     ``compatible_with`` widening lattice (``schema.rs:206-253``) extended to
     nested types: numeric/decimal widening via cast, struct evolution adds
-    missing child fields as typed nulls (recursing into present ones), list
-    value types align element-wise."""
+    missing child fields as typed nulls (recursing into present ones);
+    list / large_list / fixed_size_list / map / dictionary columns align via
+    a single Arrow cast when the evolution is flat (element widening, index
+    or offset width change, dictionary encode/decode) and via a recursive
+    child rebuild when it is deep (e.g. a struct field ADDED inside a list
+    element or map value, which Arrow's cast cannot express)."""
     if col.type.equals(target):
         return col
     if pa.types.is_struct(target) and pa.types.is_struct(col.type):
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = _combined(col)
         src_names = {f.name for f in col.type}
         children = []
         for f in target:
@@ -45,12 +71,55 @@ def _align_column(col: pa.ChunkedArray | pa.Array,
                 children.append(pa.nulls(len(arr), f.type))
         mask = arr.is_null() if arr.null_count else None
         return pa.StructArray.from_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in children],
-            fields=list(target), mask=mask)
+            [_combined(c) for c in children], fields=list(target), mask=mask)
     # numeric widening, decimal precision growth, list<T>→list<U>,
-    # dictionary→plain etc. are all single casts in Arrow
-    return col.cast(target)
+    # fixed_size_list widening/relaxation, map value widening,
+    # dictionary↔plain and index/value widening are all single Arrow casts
+    try:
+        return col.cast(target)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        pass
+    arr = _combined(col)
+    if (pa.types.is_fixed_size_list(target)
+            and pa.types.is_fixed_size_list(arr.type)
+            and target.list_size == arr.type.list_size):
+        # deep element evolution with the SAME fixed size: align the child
+        # values in place and rebuild, carrying the validity buffer (a plain
+        # list round-trip would give null entries length 0, which Arrow
+        # refuses to cast back to fixed size)
+        if arr.offset:
+            import numpy as np
+            arr = arr.take(np.arange(len(arr), dtype=np.int64))
+        values = _combined(_align_column(arr.values, target.value_type))
+        out = pa.Array.from_buffers(
+            pa.list_(values.type, target.list_size), len(arr),
+            [arr.buffers()[0]], children=[values])
+        return out if out.type.equals(target) else out.cast(target)
+    if _is_listish(target) and _is_listish(arr.type):
+        # deep element evolution: normalize to plain list, align the child
+        # values recursively, rebuild (restoring parent nulls through the
+        # offsets), then cast to the exact target layout
+        if pa.types.is_fixed_size_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        values = _combined(_align_column(arr.values, target.value_type))
+        out = pa.ListArray.from_arrays(
+            _offsets_with_validity(arr).cast(pa.int32()), values)
+        return out if out.type.equals(target) else out.cast(target)
+    if pa.types.is_map(target) and pa.types.is_map(arr.type):
+        keys = _combined(_align_column(arr.keys, target.key_type))
+        items = _combined(_align_column(arr.items, target.item_type))
+        out = pa.MapArray.from_arrays(
+            _offsets_with_validity(arr).cast(pa.int32()), keys, items)
+        return out if out.type.equals(target) else out.cast(target)
+    if pa.types.is_dictionary(target):
+        plain = (arr.cast(arr.type.value_type)
+                 if pa.types.is_dictionary(arr.type) else arr)
+        return _combined(
+            _align_column(plain, target.value_type)).dictionary_encode() \
+            .cast(target)
+    if pa.types.is_dictionary(arr.type):
+        return _align_column(arr.cast(arr.type.value_type), target)
+    return arr.cast(target)  # re-raise the original error with full context
 
 
 def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:

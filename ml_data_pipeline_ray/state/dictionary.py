@@ -88,18 +88,28 @@ def build_global_dictionary(ds: rd.Dataset, column: str) -> dict[str, int]:
 
 
 class GlobalDictApplier:
-    """Apply a broadcast global dictionary to a column (stateless lookups)."""
+    """Apply a broadcast global dictionary to a column. The map is realized
+    once per actor as an Arrow value array ordered by id, so each batch is a
+    single C-speed ``pc.index_in`` hash probe (no per-row Python dict
+    lookups); ids ARE the positions because :func:`build_global_dictionary`
+    assigns ids 0..n-1 in sorted-value order."""
 
     def __init__(self, dict_ref, column: str):
-        self.mapping = (ray.get(dict_ref)
-                        if isinstance(dict_ref, ray.ObjectRef) else dict_ref)
+        mapping = (ray.get(dict_ref)
+                   if isinstance(dict_ref, ray.ObjectRef) else dict_ref)
+        values = [None] * len(mapping)
+        for v, i in mapping.items():
+            values[i] = v
+        self._value_set = pa.array(values)
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = pd.Series(batch.column(self.column).to_numpy(zero_copy_only=False)) \
-            .map(self.mapping).to_numpy()
-        return batch.append_column(self.column + "_id",
-                                   pa.array(idx, type=pa.int64()))
+        col = batch.column(self.column)
+        vs = self._value_set
+        if vs.type != col.type and len(vs) > 0:
+            vs = vs.cast(col.type)
+        idx = pc.index_in(col, value_set=vs).cast(pa.int64())
+        return batch.append_column(self.column + "_id", idx)
 
 
 def dictionary_encode_columns(batch: pa.Table, columns: list[str]) -> pa.Table:

@@ -19,23 +19,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _to_df(res):
-    if isinstance(res, pd.DataFrame):
-        return res
+def _to_arrow(res) -> pa.Table:
     if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    import ray
+    return pa.concat_tables(ray.get(res.to_arrow_refs()))
 
 
-def _canon(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype(np.float64)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype(np.int64)
+def _canon(tbl: pa.Table) -> pd.DataFrame:
+    """Exact canonical form (predicts the driver's value hash): sort columns
+    by name, normalize representation-only type variants (timestamp unit,
+    int width, decimal->float64, large_string), keep int-vs-float and
+    null-vs-NaN distinctions EXACT, sort rows, compare exactly."""
+    tbl = tbl.select(sorted(tbl.column_names))
+    arrays, fields = [], []
+    for f in tbl.schema:
+        col, t = tbl[f.name], f.type
+        if pa.types.is_timestamp(t):
+            t = pa.timestamp("us")
+        elif pa.types.is_integer(t):
+            t = pa.int64()
+        elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+            t = pa.float64()
+        elif pa.types.is_large_string(t):
+            t = pa.string()
+        if t != f.type:
+            col = col.cast(t)
+        arrays.append(col)
+        fields.append(pa.field(f.name, t))
+    tbl = pa.table(arrays, schema=pa.schema(fields))
+    df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -64,16 +79,15 @@ def main():
     for name, fn in q.items():
         t0 = time.time()
         try:
-            got = _canon(_to_df(fn(SF_DIR)))
+            got = _canon(_to_arrow(fn(SF_DIR)))
             if name in o:
                 sql = o[name].replace("/tmp/mdpr_fixtures/small",
                                       f"/tmp/mdpr_fixtures/{scale}")
-                want = _canon(con.sql(sql).df())
+                want = _canon(con.sql(sql).arrow())
                 assert list(got.columns) == list(want.columns), \
                     f"cols {list(got.columns)} vs {list(want.columns)}"
                 assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                              check_exact=False, rtol=0, atol=1e-9)
+                pd.testing.assert_frame_equal(got, want, check_exact=True)
                 status = "PASS"
             else:
                 status = f"ROWS-ONLY({len(got)})"

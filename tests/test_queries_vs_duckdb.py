@@ -39,15 +39,39 @@ def _to_df(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype(np.float64)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype(np.int64)
+def _to_arrow(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    import ray
+    return pa.concat_tables(
+        [t for t in ray.get(res.to_arrow_refs()) if t.num_rows > 0],
+        promote_options="permissive")
+
+
+def _canon(tbl: pa.Table) -> pd.DataFrame:
+    """EXACT canonical form, same as scripts/check_correctness.py (predicts
+    the driver's value hash): normalize representation-only type variants,
+    keep int-vs-float and null-vs-NaN distinctions exact."""
+    tbl = tbl.select(sorted(tbl.column_names))
+    arrays, fields = [], []
+    for f in tbl.schema:
+        col, t = tbl[f.name], f.type
+        if pa.types.is_timestamp(t):
+            t = pa.timestamp("us")
+        elif pa.types.is_integer(t):
+            t = pa.int64()
+        elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+            t = pa.float64()
+        elif pa.types.is_large_string(t):
+            t = pa.string()
+        if t != f.type:
+            col = col.cast(t)
+        arrays.append(col)
+        fields.append(pa.field(f.name, t))
+    tbl = pa.table(arrays, schema=pa.schema(fields))
+    df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -86,13 +110,12 @@ ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(entry_mod, con, name):
-    got = _canon(_to_df(entry_mod.queries()[name](SF_DIR)))
-    want = _canon(con.sql(_oracle_for_tiny(entry_mod, name)).df())
+    got = _canon(_to_arrow(entry_mod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(_oracle_for_tiny(entry_mod, name)).arrow())
     assert list(got.columns) == list(want.columns), \
         f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=False, rtol=0, atol=1e-9)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
