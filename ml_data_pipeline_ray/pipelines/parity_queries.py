@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..sources import read_csv_typed, read_json_typed, read_text_lines
 from ..sources.readers import read_parquet
@@ -553,4 +553,93 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
        round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
 FROM events WHERE event_type IN ('purchase', 'signup')
 GROUP BY user_id, event_type
+"""
+
+
+# -- tensor-typed columns (reference DenseTensor / DataType::Tensor) ---------
+
+TENSOR_DIM = 64  # embeddings table dimension
+
+
+def _tensor_fixture(sf_dir: str) -> list[str]:
+    """Embeddings quantized onto an INTEGER grid (so every downstream sum is
+    order-independent and bit-exact in float64) and stored as
+    ``pa.fixed_shape_tensor(float32, [64])`` across two parquet files — the
+    Arrow canonical tensor extension roundtrips through parquet metadata.
+    Pure function of the sf dir; whichever side (Ray query / DuckDB oracle)
+    runs first materializes it, like the CDC transcript fixtures."""
+    emb = pq.read_table(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    d = _scratch("tensor", sf_dir)
+    paths = [os.path.join(d, "part-0.parquet"), os.path.join(d, "part-1.parquet")]
+    key = f"v1:{emb.num_rows}"
+    if not _fixture_ready(d, key):
+        flat = emb["embedding"].combine_chunks().flatten().to_numpy()
+        q = np.round(flat.astype(np.float64) * 100.0).astype(np.float32)
+        ttype = pa.fixed_shape_tensor(pa.float32(), [TENSOR_DIM])
+        storage = pa.FixedSizeListArray.from_arrays(
+            pa.array(q, pa.float32()), TENSOR_DIM)
+        tbl = pa.table({"vec_id": emb["vec_id"],
+                        "t": pa.ExtensionArray.from_storage(ttype, storage)})
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), paths[0])
+        pq.write_table(tbl.slice(half), paths[1])
+        _mark_ready(d, key)
+    return paths
+
+
+def tensor_roundtrip_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Tensor column round-trip (reference ``DenseTensor``/``DataType::
+    Tensor``, ``ml-data/ml-data-core/src/tensor.rs:20-38``,
+    ``schema.rs:63``): fixed-shape tensor parquet -> Ray read ->
+    ``align_to_schema`` (extension-aware) -> zero-copy ndarray view per
+    batch -> distributed moment aggregate. The oracle recomputes the moments
+    with DuckDB list arithmetic over the same files."""
+    from ..stages.transforms import align_to_schema
+
+    paths = _tensor_fixture(sf_dir)
+    # Read with the STORAGE schema: Ray's block serializer cannot ship
+    # pyarrow canonical extension arrays between tasks (only its own tensor
+    # extension), so the extension type lives inside each task — the align
+    # step wraps storage -> fixed_shape_tensor per batch and the moment
+    # kernel uses the tensor API's zero-copy ndarray view.
+    storage_schema = pa.schema([
+        ("vec_id", pa.int64()), ("t", pa.list_(pa.float32(), TENSOR_DIM))])
+    target = pa.schema([
+        ("vec_id", pa.int64()),
+        ("t", pa.fixed_shape_tensor(pa.float32(), [TENSOR_DIM]))])
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = align_to_schema(b, target)
+        m = b["t"].combine_chunks().to_numpy_ndarray().astype(np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "dim": pa.array([m.shape[1]], pa.int64()),
+            "s_all": pa.array([float(m.sum())]),
+            "s_sq": pa.array([float((m * m).sum())])})
+
+    out = read_parquet(paths, schema=storage_schema) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Max("dim", alias_name="dim"),
+                   Sum("s_all", alias_name="sum_all"),
+                   Sum("s_sq", alias_name="sum_sq"))
+    return pd.DataFrame([{"n": int(out["n"]), "dim": int(out["dim"]),
+                          "sum_all": float(out["sum_all"]),
+                          "sum_sq": float(out["sum_sq"])}])
+
+
+def sql_tensor_roundtrip_embeddings() -> str:
+    # the driver gate runs at sf0.01; materialize that fixture so the oracle
+    # can run first (the replica harnesses rewrite this path per scale)
+    paths = _tensor_fixture("/root/testdata/sf0.01")
+    glob_path = os.path.join(os.path.dirname(paths[0]), "part-*.parquet")
+    return f"""
+WITH v AS (
+  SELECT CAST(t AS DOUBLE[]) AS e
+  FROM read_parquet('{glob_path}'))
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(max(len(e)) AS BIGINT) AS dim,
+       round(sum(list_sum(e)), 2) AS sum_all,
+       round(sum(list_sum(list_transform(e, x -> x * x))), 2) AS sum_sq
+FROM v
 """

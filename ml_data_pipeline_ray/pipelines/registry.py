@@ -22,15 +22,37 @@ from . import oracle_sql as S
 
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered cheapest-risk-first: the CDC flagship leads, the five queries
+    the round-2 driver run never recorded come right after it (so a
+    truncated/timed-out sweep still records them), then cheap reader parity,
+    then the relational/events/text families, with the most expensive query
+    (``neardup_minhash_docs``) last."""
     return {
         # CDC flagship (SURVEY.md §7; north rule)
         "cdc_replay": C.cdc_replay,
+        # round-2 driver gap: unrecorded by that run — keep these early
+        "timeseries_fill_hourly": P.timeseries_fill_hourly,
+        "scaler_moments_lineitem": P.scaler_moments_lineitem,
+        "dict_encode_docs": P.dict_encode_docs,
+        "setops_event_users": P.setops_event_users,
+        "multimodal_sniff_decode": P.multimodal_sniff_decode,
+        # round-3 new coverage
+        "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
+        # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
         "cdc_replay_evolved": C.cdc_replay_evolved,
         "cdc_replay_compacted": C.cdc_replay_compacted,
         "cdc_tail_incremental": C.cdc_tail_incremental,
         "cdc_time_travel": C.cdc_time_travel,
+        # cheap reader/stateful parity
+        "csv_seek_supplier": P.csv_seek_supplier,
+        "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
+        "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
+        "text_lines_docs": P.text_lines_docs,
+        "sql_source_events": P.sql_source_events,
+        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
+        "csv_inference_messy": P.csv_inference_messy,
         # relational / TPC-H-ish (T1-T7, P1-P2, O1-O3, U1, joins)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_revenue": Q.q6_revenue,
@@ -65,26 +87,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_events": X.dedup_exact_events,
         "dedup_exact_docs": X.dedup_exact_docs,
         "neardup_minhash": X.neardup_minhash,
-        "neardup_minhash_docs": X.neardup_minhash_docs,
         "neardup_ngram": X.neardup_ngram,
         "neardup_simhash": X.neardup_simhash,
         # similarity search
         "neardup_embedding": X.neardup_embedding,
         "ann_topk": X.ann_topk,
         "ann_ivf": X.ann_ivf,
-        # reader/stateful parity family (round-2: driver-gated)
-        "csv_inference_messy": P.csv_inference_messy,
-        "csv_seek_supplier": P.csv_seek_supplier,
-        "text_lines_docs": P.text_lines_docs,
-        "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
-        "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
-        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
-        "sql_source_events": P.sql_source_events,
-        "timeseries_fill_hourly": P.timeseries_fill_hourly,
-        "scaler_moments_lineitem": P.scaler_moments_lineitem,
-        "dict_encode_docs": P.dict_encode_docs,
-        "setops_event_users": P.setops_event_users,
-        "multimodal_sniff_decode": P.multimodal_sniff_decode,
+        # most expensive last (transcript-corpus minhash at tau=0.5)
+        "neardup_minhash_docs": X.neardup_minhash_docs,
     }
 
 
@@ -142,6 +152,7 @@ def build_oracle_sql() -> dict[str, str]:
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,
         "multimodal_sniff_decode": P.sql_multimodal_sniff_decode(),
+        "tensor_roundtrip_embeddings": P.sql_tensor_roundtrip_embeddings(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -205,19 +205,55 @@ def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
     """Distributed LSH candidate generation: distinct id pairs sharing at
     least one (band, band_hash) bucket. Returns a driver-side DataFrame of
     candidate pairs (small by construction: only near-dup suspects)."""
+    import ray
+
     stage = MinHashStage(id_col, text_col, k, num_hashes, num_bands)
     kw = {"concurrency": concurrency} if concurrency else {}
     buckets = ds.map_batches(stage, batch_format="pyarrow", **kw)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    # Shard buckets into ~3x-cores groups (bucket-per-group costs ~0.3 ms of
+    # Ray group machinery each; bands x docs buckets = tens of thousands of
+    # groups, almost all singletons). hash(band, band_hash) % B keeps every
+    # bucket's rows co-located; inside a shard, segment boundaries are found
+    # vectorized and the per-bucket triu runs only on multi-row buckets.
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    num_shards = max(8, 3 * cpus)
 
-    cand = (buckets.groupby(["band", "band_hash"])
-            .map_groups(pairs_in_bucket, batch_format="pandas")).to_pandas()
+    def tag(b: pa.Table) -> pa.Table:
+        band = b.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            g = (band * np.uint64(0x9E3779B97F4A7C15) + bh) % np.uint64(num_shards)
+        return b.append_column("_gb", pa.array(g.astype(np.int32)))
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(g)]))
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            u = np.unique(ids[s:e])
+            if u.size < 2:
+                continue
+            a, b = np.triu_indices(u.size, k=1)
+            out_a.append(u[a])
+            out_b.append(u[b])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (buckets.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_gb")
+            .map_groups(pairs_in_shard, batch_format="pandas")).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64)})
@@ -297,30 +333,57 @@ def verify_candidate_pairs(ds: rd.Dataset, candidates: pd.DataFrame,
         members.setdefault(b, []).append((pidx, 1))
     ref = ray.put(members)
 
+    # Bucket MANY pairs per shuffle group (pair_idx % B): one Ray group per
+    # pair costs ~0.5 ms each of per-group machinery, which dominated the
+    # wall at ~20k candidates; per-pair work inside a bucket is two
+    # zero-copy offset slices + one intersect1d.
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    num_buckets = max(8, 3 * cpus)
+
     emitted = ds.map_batches(_ShingleEmitter(ref, id_col, text_col, k),
                              batch_format="pyarrow")
 
-    def check(g: pa.Table) -> pd.DataFrame:
+    def tag(b: pa.Table) -> pa.Table:
+        vb = (b.column("pair_idx").to_numpy(zero_copy_only=False)
+              % num_buckets).astype(np.int32)
+        return b.append_column("_vb", pa.array(vb))
+
+    def check_bucket(g: pa.Table) -> pd.DataFrame:
+        if g.num_rows == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pidx = g.column("pair_idx").to_numpy(zero_copy_only=False)
         side = g.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pidx))
+        pidx_s, side_s = pidx[order], side[order]
         lists = g.column("sh")
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
-        ia = np.where(side == 0)[0]
-        ib = np.where(side == 1)[0]
-        if ia.size == 0 or ib.size == 0:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        sa = np.unique(np.asarray(lists[int(ia[0])].as_py(), dtype=np.uint64))
-        sb = np.unique(np.asarray(lists[int(ib[0])].as_py(), dtype=np.uint64))
-        union = np.union1d(sa, sb).size
-        inter = np.intersect1d(sa, sb).size
-        if union and inter / union >= threshold:
-            ids = g.column(id_col).to_pylist()
-            return pd.DataFrame({"id_a": [ids[int(ia[0])]],
-                                 "id_b": [ids[int(ib[0])]]})
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.values.to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        new = np.ones(pidx_s.size, dtype=bool)
+        new[1:] = pidx_s[1:] != pidx_s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [pidx_s.size]))
+        out_a, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2 or side_s[s] != 0 or side_s[e - 1] != 1:
+                continue           # one side's row missing — not verifiable
+            ra, rb = int(order[s]), int(order[e - 1])
+            sa = np.unique(flat[offs[ra]:offs[ra + 1]])
+            sb = np.unique(flat[offs[rb]:offs[rb + 1]])
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
+                out_a.append(ids[ra])
+                out_b.append(ids[rb])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    out = (emitted.groupby("pair_idx")
-           .map_groups(check, batch_format="pyarrow")).to_pandas()
+    out = (emitted.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("_vb")
+           .map_groups(check_bucket, batch_format="pyarrow")).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object)})

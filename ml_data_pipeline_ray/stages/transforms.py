@@ -60,6 +60,17 @@ def _align_column(col: pa.ChunkedArray | pa.Array,
     element or map value, which Arrow's cast cannot express)."""
     if col.type.equals(target):
         return col
+    if isinstance(target, pa.BaseExtensionType):
+        # extension target (e.g. fixed_shape_tensor): align to the storage
+        # type (covers plain list/fixed_size_list sources and element
+        # widening), then rewrap — the reference's DataType::Tensor maps here
+        # (``tensor.rs:20-38``, ``schema.rs:63``)
+        arr = _combined(col)
+        storage = arr.storage if isinstance(arr, pa.ExtensionArray) else arr
+        aligned = _combined(_align_column(storage, target.storage_type))
+        return pa.ExtensionArray.from_storage(target, aligned)
+    if isinstance(col.type, pa.BaseExtensionType):
+        return _align_column(_combined(col).storage, target)
     if pa.types.is_struct(target) and pa.types.is_struct(col.type):
         arr = _combined(col)
         src_names = {f.name for f in col.type}

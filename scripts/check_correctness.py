@@ -81,8 +81,13 @@ def main():
         try:
             got = _canon(_to_arrow(fn(SF_DIR)))
             if name in o:
-                sql = o[name].replace("/tmp/mdpr_fixtures/small",
-                                      f"/tmp/mdpr_fixtures/{scale}")
+                base = __import__("os").path.basename(
+                    __import__("os").path.normpath(SF_DIR))
+                sql = (o[name]
+                       .replace("/tmp/mdpr_fixtures/small",
+                                f"/tmp/mdpr_fixtures/{scale}")
+                       .replace("mdpr_parity_tensor_sf0.01",
+                                f"mdpr_parity_tensor_{base}"))
                 want = _canon(con.sql(sql).arrow())
                 assert list(got.columns) == list(want.columns), \
                     f"cols {list(got.columns)} vs {list(want.columns)}"

@@ -77,7 +77,8 @@ def _canon(tbl: pa.Table) -> pd.DataFrame:
 
 def _oracle_for_tiny(e, name: str) -> str:
     sql = e.oracle_sql()[name]
-    return sql.replace("/tmp/mdpr_fixtures/small", "/tmp/mdpr_fixtures/tiny")
+    return (sql.replace("/tmp/mdpr_fixtures/small", "/tmp/mdpr_fixtures/tiny")
+            .replace("mdpr_parity_tensor_sf0.01", "mdpr_parity_tensor_sf0.001"))
 
 
 QUERY_NAMES = [
@@ -103,6 +104,7 @@ QUERY_NAMES = [
     "sql_source_events",
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
     "setops_event_users", "multimodal_sniff_decode",
+    "tensor_roundtrip_embeddings",
 ]
 
 ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]

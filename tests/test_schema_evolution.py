@@ -147,12 +147,19 @@ def test_align_to_schema_randomized_evolution_chains():
         sfields = [(f"f{k}", pa.string()) for k in range(n_struct_dst)]
         src_struct = pa.struct(sfields[:n_struct_src])
         dst_struct = pa.struct(sfields)
-        src = pa.schema([("a", src_n), ("l", pa.list_(src_n)),
-                         ("s", src_struct),
-                         ("d", pa.decimal128(7, 2))])
+        # map value widening; fixed_size_list widening or relaxation-to-list;
+        # dictionary index/value widening or decode-to-plain (all from the
+        # reference's DataType set, schema.rs:13-106)
+        dst_fl = (pa.list_(dst_n, 2) if rng.random() < 0.5 else pa.list_(dst_n))
+        dst_dc = (pa.dictionary(pa.int64(), pa.large_string())
+                  if rng.random() < 0.5 else pa.string())
         dst = pa.schema([("a", dst_n), ("l", pa.list_(dst_n)),
                          ("s", dst_struct),
                          ("d", pa.decimal128(rng.randrange(7, 30), 2)),
+                         ("m", pa.map_(pa.string(), dst_n)),
+                         ("fl", dst_fl),
+                         ("dc", dst_dc),
+                         ("ls", pa.list_(dst_struct)),
                          ("new", pa.string())])
         vals = [rng.randrange(-1000, 1000) for _ in range(5)]
         batch = pa.table({
@@ -162,6 +169,13 @@ def test_align_to_schema_randomized_evolution_chains():
                            for x in range(5)], src_struct),
             "d": pa.array([Decimal(f"{v}.25") for v in vals],
                           pa.decimal128(7, 2)),
+            "m": pa.array([[("k", v)] for v in vals],
+                          pa.map_(pa.string(), src_n)),
+            "fl": pa.array([[v, v + 1] for v in vals], pa.list_(src_n, 2)),
+            "dc": pa.array([f"s{v % 3}" for v in vals]).dictionary_encode(),
+            "ls": pa.array(
+                [[{f"f{k}": f"v{k}-{x}" for k in range(n_struct_src)}]
+                 for x in range(5)], pa.list_(src_struct)),
         })
         out = align_to_schema(batch, dst)
         assert out.schema == dst, trial
@@ -172,4 +186,78 @@ def test_align_to_schema_randomized_evolution_chains():
                 want = f"v{k}-{x}" if k < n_struct_src else None
                 assert row[f"f{k}"] == want
         assert out["d"].to_pylist() == [Decimal(f"{v}.25") for v in vals]
+        assert [dict(x)["k"] for x in out["m"].to_pylist()] == \
+            [int(v) for v in vals]
+        assert [[int(e) for e in x] for x in out["fl"].to_pylist()] == \
+            [[v, v + 1] for v in vals]
+        assert out["dc"].to_pylist() == [f"s{v % 3}" for v in vals]
+        for x, row in enumerate(out["ls"].to_pylist()):
+            assert len(row) == 1
+            for k in range(n_struct_dst):
+                want = f"v{k}-{x}" if k < n_struct_src else None
+                assert row[0][f"f{k}"] == want
         assert out["new"].null_count == 5
+
+
+def test_align_to_schema_tensor_extension():
+    """Tensor-typed columns (reference DenseTensor, tensor.rs:20-38,
+    schema.rs:63): fixed_shape_tensor roundtrips through parquet, and
+    align_to_schema converts list / fixed_size_list storage <-> the
+    extension type (with element widening) in both directions."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from ml_data_pipeline_ray.stages.transforms import align_to_schema
+
+    D = 4
+    ttype = pa.fixed_shape_tensor(pa.float32(), [D])
+    data = np.arange(8, dtype=np.float32).reshape(2, D)
+    storage = pa.FixedSizeListArray.from_arrays(
+        pa.array(data.ravel(), pa.float32()), D)
+    tbl = pa.table({"t": pa.ExtensionArray.from_storage(ttype, storage)})
+
+    # parquet write -> read preserves the canonical extension type
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq_.write_table(tbl, p)
+        back = pq_.read_table(p)
+    assert back["t"].type == ttype
+    np.testing.assert_array_equal(
+        back["t"].combine_chunks().to_numpy_ndarray(), data)
+
+    # plain list<float32> -> tensor
+    src = pa.table({"t": pa.array([[0., 1., 2., 3.], [4., 5., 6., 7.]],
+                                  pa.list_(pa.float32()))})
+    out = align_to_schema(src, pa.schema([("t", ttype)]))
+    assert out.schema.field("t").type == ttype
+    np.testing.assert_array_equal(
+        out["t"].combine_chunks().to_numpy_ndarray(), data)
+
+    # fixed_size_list<float64> -> tensor(float32)  (element narrowing via
+    # the storage cast) and tensor -> plain list (extension unwrap)
+    src = pa.table({"t": pa.array([[0., 1., 2., 3.], [4., 5., 6., 7.]],
+                                  pa.list_(pa.float64(), D))})
+    out = align_to_schema(src, pa.schema([("t", ttype)]))
+    assert out.schema.field("t").type == ttype
+    out2 = align_to_schema(tbl, pa.schema([("t", pa.list_(pa.float64()))]))
+    assert out2["t"].to_pylist() == [[0., 1., 2., 3.], [4., 5., 6., 7.]]
+
+
+def test_hash_join_bucket_count_is_data_size_aware():
+    """Bucket count must grow with input bytes (~512 MiB per bucket) and
+    floor at 3x cores — each bucket materializes as ONE map_groups group,
+    so a cores-only count would put ~1 TB per group at 100 TB."""
+    from ml_data_pipeline_ray.stages.joins import (_TARGET_BUCKET_BYTES,
+                                                   _choose_num_buckets)
+
+    cpus = 32
+    floor = 3 * cpus
+    assert _choose_num_buckets(None, cpus) == floor
+    assert _choose_num_buckets(1 << 20, cpus) == floor
+    # 1 TiB in-memory -> 2048 buckets of 512 MiB, far above the floor
+    assert _choose_num_buckets(1 << 40, cpus) == (1 << 40) // _TARGET_BUCKET_BYTES
+    # monotone in input size
+    sizes = [1 << 30, 1 << 35, 1 << 40, 1 << 45]
+    counts = [_choose_num_buckets(s, cpus) for s in sizes]
+    assert counts == sorted(counts) and counts[-1] > counts[0]
