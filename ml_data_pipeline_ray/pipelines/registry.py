@@ -38,6 +38,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_sniff_decode": P.multimodal_sniff_decode,
         # round-3 new coverage
         "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
+        "avro_roundtrip_events": P.avro_roundtrip_events,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -153,6 +154,7 @@ def build_oracle_sql() -> dict[str, str]:
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,
         "multimodal_sniff_decode": P.sql_multimodal_sniff_decode(),
         "tensor_roundtrip_embeddings": P.sql_tensor_roundtrip_embeddings(),
+        "avro_roundtrip_events": P.SQL_AVRO_ROUNDTRIP_EVENTS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -55,6 +55,15 @@ def _hash_cols(df_or_tbl, on: list[str]) -> np.ndarray:
 _ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
+def _default_shards() -> int:
+    """Shuffle-shard count for keyed kernels (as-of / range joins): ~3x the
+    cluster cores — enough groups to keep every core busy, few enough that
+    per-group machinery is negligible."""
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return max(16, 3 * cpus)
+
+
 class _BroadcastJoiner:
     """Per-batch zero-copy Arrow hash join against the broadcast side. The
     instance holds only the ObjectRef (tiny per-task pickle); the table
@@ -203,10 +212,12 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     a match keep nulls (left-outer semantics).
 
     Ray-native shape: both sides are tagged and unioned under a padded
-    common schema, ONE ``groupby(by)`` shuffle co-locates each key's rows,
-    and the in-group match is pandas ``merge_asof`` over the sorted group.
-    Partitioning assumption: one ``by`` key's rows fit one group (the same
-    assumption as any per-entity window)."""
+    common schema, ONE shuffle on ``hash(by) % ~3x-cores`` co-locates every
+    key's rows (many keys per shard — one Ray group PER KEY costs ~0.5 ms of
+    group machinery each, which dominated at tens of thousands of keys), and
+    the in-shard match is a single vectorized ``pd.merge_asof(..., by=by)``
+    over the sorted shard. Partitioning assumption: one shard's rows fit one
+    group (bytes-bounded by the shard count, not by key cardinality)."""
     lschema = _pa_schema(left)
     rschema = _pa_schema(right)
     lcols = list(lschema.names)
@@ -223,14 +234,18 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
     from .transforms import align_to_schema
 
+    num_shards = _default_shards()
+
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             if side == 1:
                 batch = batch.rename_columns(
                     [rrename[c] for c in batch.column_names])
             batch = align_to_schema(batch, unified)
+            shard = (_hash_cols(batch, [by]) % num_shards).astype(np.int32)
             return batch.append_column(
-                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            ).append_column("_shard", pa.array(shard))
         return fn
 
     both = left.map_batches(tag(0), batch_format="pyarrow",
@@ -247,18 +262,20 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         + [pa.field(rrename[f.name], f.type) for f in rschema
            if rrename[f.name] in rcols])
 
-    def join_group(g: pd.DataFrame) -> pa.Table:
+    def join_shard(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
-        rg = g[g["_side"] == 1][[on] + rcols].sort_values(on, kind="mergesort")
-        if len(lg) == 0:
-            out = lg.assign(**{c: pd.Series(dtype=rg[c].dtype) for c in rcols})
+        rg = g[g["_side"] == 1][[by, on] + rcols].sort_values(
+            on, kind="mergesort")
+        if len(lg) == 0 or len(rg) == 0:
+            out = lg.assign(**{c: pd.Series([None] * len(lg), dtype=object)
+                               for c in rcols})
         else:
-            out = pd.merge_asof(lg, rg, on=on, direction=direction)
+            out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
         return pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
                                     preserve_index=False
                                     ).replace_schema_metadata(None)
 
-    return both.groupby(by).map_groups(join_group, batch_format="pandas")
+    return both.groupby("_shard").map_groups(join_shard, batch_format="pandas")
 
 
 def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
@@ -270,12 +287,15 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
     Counting (not pair emission) keeps the output linear in the left side —
     a pair-emitting range join can explode quadratically; when pairs are
-    truly needed, bound the window first. Shape: tag + union + ONE
-    ``groupby(by)`` shuffle, then two vectorized ``searchsorted`` scans per
-    group (no per-row Python). Partitioning assumption: one ``by`` key's
-    rows fit one group."""
+    truly needed, bound the window first. Shape: tag + union + ONE shuffle
+    on ``hash(by) % ~3x-cores`` (many keys per shard — a group per key costs
+    ~0.5 ms of Ray group machinery each), then per key inside the shard two
+    vectorized ``searchsorted`` scans over that key's sorted right-side
+    times. Partitioning assumption: one shard fits one group (bytes-bounded
+    by the shard count, not key cardinality)."""
     lschema = _pa_schema(left)
     lcols = list(lschema.names)
+    num_shards = _default_shards()
 
     def tag(side: int, keep: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -284,8 +304,10 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
             target = pa.schema([lschema.field(c) if c in lschema.names
                                 else batch.schema.field(c) for c in lcols])
             batch = align_to_schema(batch, target)
+            shard = (_hash_cols(batch, [by]) % num_shards).astype(np.int32)
             return batch.append_column(
-                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+                "_side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            ).append_column("_shard", pa.array(shard))
         return fn
 
     both = left.map_batches(tag(0, lcols), batch_format="pyarrow",
@@ -300,19 +322,36 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     out_schema = pa.schema([lschema.field(c) for c in lcols]
                            + [pa.field(count_col, pa.int64())])
 
-    def count_group(g: pd.DataFrame) -> pa.Table:
+    def count_shard(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == 0][lcols]
-        rts = np.sort(g.loc[g["_side"] == 1, on].to_numpy())
-        lts = lg[on].to_numpy()
-        lo = np.searchsorted(rts, lts + lo_offset, side="right")
-        hi = np.searchsorted(rts, lts + hi_offset, side="right")
+        rg = g[g["_side"] == 1]
+        counts = np.zeros(len(lg), dtype=np.int64)
+        if len(lg) and len(rg):
+            # per-key slices: sort the right side by (by, on) once, then for
+            # each key in the left, two searchsorted scans within its slice
+            rg = rg.sort_values([by, on], kind="mergesort")
+            rkeys = rg[by].to_numpy()
+            rts = rg[on].to_numpy()
+            lkeys = lg[by].to_numpy()
+            lts = lg[on].to_numpy()
+            order = np.argsort(lkeys, kind="mergesort")
+            uk, kstart = np.unique(lkeys[order], return_index=True)
+            kend = np.concatenate((kstart[1:], [len(lkeys)]))
+            r_lo = np.searchsorted(rkeys, uk, side="left")
+            r_hi = np.searchsorted(rkeys, uk, side="right")
+            for ki in range(uk.size):
+                li = order[kstart[ki]:kend[ki]]
+                seg = rts[r_lo[ki]:r_hi[ki]]
+                lo = np.searchsorted(seg, lts[li] + lo_offset, side="right")
+                hi = np.searchsorted(seg, lts[li] + hi_offset, side="right")
+                counts[li] = hi - lo
         out = lg.copy()
-        out[count_col] = (hi - lo).astype(np.int64)
+        out[count_col] = counts
         return pa.Table.from_pandas(out, schema=out_schema,
                                     preserve_index=False
                                     ).replace_schema_metadata(None)
 
-    return both.groupby(by).map_groups(count_group, batch_format="pandas")
+    return both.groupby("_shard").map_groups(count_shard, batch_format="pandas")
 
 
 #: per-bucket in-memory target: each bucket materializes as ONE map_groups

@@ -104,7 +104,7 @@ QUERY_NAMES = [
     "sql_source_events",
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
     "setops_event_users", "multimodal_sniff_decode",
-    "tensor_roundtrip_embeddings",
+    "tensor_roundtrip_embeddings", "avro_roundtrip_events",
 ]
 
 ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]

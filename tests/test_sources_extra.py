@@ -197,3 +197,67 @@ def test_bucketed_fill_matches_pandas_kernel():
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(got[["k", "ts", "v"]], want,
                                       check_dtype=False, obj=method)
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    """Avro OCF writer/reader: primitives, nullable unions, unicode, both
+    codecs, multi-block files (S11 — declared-only in the reference)."""
+    import pyarrow as pa
+
+    from ml_data_pipeline_ray.sources.avro import read_avro_table, write_avro
+
+    t = pa.table({
+        "i32": pa.array([1, None, -5], pa.int32()),
+        "i64": pa.array([2**62, -2**62, None], pa.int64()),
+        "f": pa.array([0.5, None, -1.5], pa.float32()),
+        "d": pa.array([1e300, -0.0, None], pa.float64()),
+        "b": pa.array([True, None, False]),
+        "s": pa.array(["α", "", None]),
+        "y": pa.array([b"\x00\xff", None, b""], pa.binary()),
+    })
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro(t, p, codec=codec, rows_per_block=2)  # forces 2 blocks
+        back = read_avro_table(p)
+        assert back.equals(t.cast(back.schema)), codec
+
+
+def test_avro_rejects_non_avro_and_bad_sync(tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    from ml_data_pipeline_ray.sources.avro import read_avro_table, write_avro
+
+    p = str(tmp_path / "x.avro")
+    with open(p, "wb") as f:
+        f.write(b"PAR1not-avro")
+    with pytest.raises(ValueError, match="not an Avro"):
+        read_avro_table(p)
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    p2 = str(tmp_path / "y.avro")
+    write_avro(t, p2, codec="null")
+    data = bytearray(open(p2, "rb").read())
+    data[-1] ^= 0xFF                      # corrupt the trailing sync marker
+    open(p2, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_avro_table(p2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_avro_dataset_file_parallel(tmp_path):
+    import pyarrow as pa
+
+    from ml_data_pipeline_ray.sources.avro import read_avro, write_avro
+
+    paths = []
+    for i in range(3):
+        t = pa.table({"k": pa.array([i * 10 + j for j in range(10)], pa.int64()),
+                      "s": pa.array([f"r{i}-{j}" for j in range(10)])})
+        p = str(tmp_path / f"p{i}.avro")
+        write_avro(t, p)
+        paths.append(p)
+    ds = read_avro(paths)
+    df = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(df) == 30
+    assert df["k"].tolist() == sorted(i * 10 + j for i in range(3) for j in range(10))
