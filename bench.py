@@ -153,21 +153,17 @@ def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    MDPR_BENCH_NO_QUERIES="1", MDPR_BENCH_SCALE="xxbench",
                    MDPR_FIXED_LAYOUT="64", MDPR_WARM_REPLAY="1")
-        best = None
-        for _ in range(1 if n <= 4 else 2):
-            # measurement hygiene: each level starts with a drained page
-            # cache writeback — the previous level's ~GBs of (deleted) lake
-            # writes otherwise stall this level's merge fsyncs. On a real
-            # cluster each size runs on fresh nodes; this emulates that.
-            os.sync()
-            time.sleep(3)
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        # run_bench itself does an untimed warmup replay + best-of-2 timed,
+        # so one process per level suffices. measurement hygiene: each level
+        # starts with a drained page-cache writeback — the previous level's
+        # ~GBs of (deleted) lake writes otherwise stall this level's merge
+        # fsyncs. On a real cluster each size runs on fresh nodes.
+        os.sync()
+        time.sleep(3)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     runs = {n: one(n) for n in levels}
 

@@ -693,3 +693,123 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events WHERE event_id % 37 = 0
 GROUP BY event_type
 """
+
+
+# -- S11: HTTP source ----------------------------------------------------------
+
+def http_source_events(sf_dir: str) -> pd.DataFrame:
+    """HTTP(S) source end-to-end (S11: the reference's ``http`` feature is a
+    declared reqwest dependency only): a deterministic ~2.4% slice of events
+    is served as parquet shards from a loopback HTTP server; each shard URL
+    downloads and parses inside its own Ray task (URL = parallelism unit),
+    feeding a distributed aggregate. The oracle recomputes from the same
+    slice of the source table."""
+    import functools
+    import http.server
+    import threading
+
+    from ..sources.readers import read_http
+
+    ev = pq.read_table(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id", "event_type", "value"])
+    mask = pa.array(ev["event_id"].to_numpy() % 41 == 0)
+    ev = ev.filter(mask).sort_by("event_id")
+    d = _scratch("http", sf_dir)
+    key = f"v1:{ev.num_rows}"
+    n_files = 4
+    bounds = np.linspace(0, ev.num_rows, n_files + 1).astype(np.int64)
+    names = [f"part-{i:05d}.parquet" for i in range(n_files)]
+    if not _fixture_ready(d, key):
+        for i in range(n_files):
+            pq.write_table(ev.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                           os.path.join(d, names[i]))
+        _mark_ready(d, key)
+
+    class _QuietHandler(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *args):          # keep request logs out of
+            pass                               # the driver's stderr
+
+    handler = functools.partial(_QuietHandler, directory=d)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        urls = [f"http://127.0.0.1:{port}/{n}" for n in names]
+        ds = read_http(urls, format="parquet")
+        out = (ds.groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("event_id", alias_name="sum_id"),
+                          Sum("value", alias_name="sum_value"))).to_pandas()
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_id"] = out["sum_id"].astype(np.int64)
+    return _round(_stab(out, {"sum_value": 2}),
+                  {"sum_value": 2})[["event_type", "n", "sum_id", "sum_value"]]
+
+
+SQL_HTTP_SOURCE_EVENTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM events WHERE event_id % 41 = 0
+GROUP BY event_type
+"""
+
+
+def sparse_tensor_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SparseTensor data model (reference ``tensor.rs:429-453``,
+    ``schema.rs:66``): the dense tensor fixture sparsifies per batch into
+    the per-row COO struct (|value| > 20 on the integer grid — exact on
+    both engines), round-trips back to dense inside the same task as a
+    self-check, and aggregates nnz / value moments distributed. Oracle:
+    DuckDB list_filter over the same files."""
+    from ..stages.tensors import dense_to_sparse, sparse_to_dense
+
+    paths = _tensor_fixture(sf_dir)
+    storage_schema = pa.schema([
+        ("vec_id", pa.int64()), ("t", pa.list_(pa.float32(), TENSOR_DIM))])
+
+    def stats(b: pa.Table) -> pa.Table:
+        sp = dense_to_sparse(b["t"], threshold=20.0)
+        vals = sp.field("values")
+        nnz = pc.list_value_length(vals).cast(pa.int64())
+        # dense -> sparse -> dense must be identity on the kept entries
+        back = sparse_to_dense(sp, TENSOR_DIM)
+        dense = b["t"].combine_chunks()
+        m = np.asarray(dense.values.to_numpy(zero_copy_only=False)
+                       ).reshape(-1, TENSOR_DIM)
+        mb = np.asarray(back.values.to_numpy(zero_copy_only=False)
+                        ).reshape(-1, TENSOR_DIM)
+        kept = np.abs(m) > 20.0
+        assert np.array_equal(np.where(kept, m, 0.0), mb)
+        sv = np.asarray(vals.values.to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "nnz": pa.array([int(pc.sum(nnz).as_py() or 0)], pa.int64()),
+            "s_val": pa.array([float(sv.sum())]),
+        })
+
+    out = read_parquet(paths, schema=storage_schema) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("nnz", alias_name="nnz"),
+                   Sum("s_val", alias_name="sum_val"))
+    return pd.DataFrame([{"n": int(out["n"]), "nnz": int(out["nnz"]),
+                          "sum_val": float(out["sum_val"])}])
+
+
+def sql_sparse_tensor_embeddings() -> str:
+    paths = _tensor_fixture("/root/testdata/sf0.01")
+    glob_path = os.path.join(os.path.dirname(paths[0]), "part-*.parquet")
+    return f"""
+WITH v AS (
+  SELECT list_filter(CAST(t AS DOUBLE[]), x -> abs(x) > 20.0) AS kept
+  FROM read_parquet('{glob_path}'))
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(len(kept)) AS BIGINT) AS nnz,
+       round(COALESCE(sum(list_sum(kept)), 0), 2) AS sum_val
+FROM v
+"""

@@ -39,6 +39,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # round-3 new coverage
         "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
         "avro_roundtrip_events": P.avro_roundtrip_events,
+        "http_source_events": P.http_source_events,
+        "sparse_tensor_embeddings": P.sparse_tensor_embeddings,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -155,6 +157,8 @@ def build_oracle_sql() -> dict[str, str]:
         "multimodal_sniff_decode": P.sql_multimodal_sniff_decode(),
         "tensor_roundtrip_embeddings": P.sql_tensor_roundtrip_embeddings(),
         "avro_roundtrip_events": P.SQL_AVRO_ROUNDTRIP_EVENTS,
+        "http_source_events": P.SQL_HTTP_SOURCE_EVENTS,
+        "sparse_tensor_embeddings": P.sql_sparse_tensor_embeddings(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

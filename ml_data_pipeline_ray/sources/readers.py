@@ -360,3 +360,68 @@ def read_sql_typed(query: str, db_path: str | None = None,
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
     return rd.from_arrow(tbl, **kw)
+
+
+def read_http(urls: str | list[str], format: str | None = None,
+              timeout: float = 60.0) -> rd.Dataset:
+    """HTTP(S) source (S11 — the reference's ``http`` feature is a declared
+    reqwest dependency with no implementation,
+    ``ml-data-readers/Cargo.toml:14-20``). Each URL downloads INSIDE its own
+    Ray task to a worker-local spool file and parses there — the driver
+    never touches payload bytes, and URLs are the parallelism unit (the
+    same file-parallel shape as the TFRecord/Avro/text readers, so a list
+    of shard URLs fans out across the cluster).
+
+    ``format`` is one of parquet/csv/json/text/arrow/avro/tfrecord;
+    autodetected from the first URL's path extension when omitted.
+    """
+    from urllib.parse import urlparse
+
+    if isinstance(urls, str):
+        urls = [urls]
+    if format is None:
+        format = detect_format(urlparse(urls[0]).path)
+    if format not in ("parquet", "csv", "json", "text", "arrow", "avro",
+                      "tfrecord"):
+        raise ValueError(f"unsupported http format {format!r}")
+
+    def fetch_parse(b: pa.Table) -> pa.Table:
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import urllib.request
+
+        tables = []
+        for url in b.column("path").to_pylist():
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    _tempfile.NamedTemporaryFile(delete=False) as f:
+                _shutil.copyfileobj(r, f)
+                spool = f.name
+            try:
+                if format == "parquet":
+                    import pyarrow.parquet as _pq
+                    t = _pq.read_table(spool)
+                    if t.schema.metadata:
+                        t = t.replace_schema_metadata(None)
+                elif format == "csv":
+                    t = pacsv.read_csv(spool)
+                elif format == "json":
+                    import pyarrow.json as _pj
+                    t = _pj.read_json(spool)
+                elif format == "arrow":
+                    from .arrow_ipc import read_arrow_ipc
+                    t = read_arrow_ipc(spool)
+                elif format == "avro":
+                    from .avro import read_avro_table
+                    t = read_avro_table(spool)
+                elif format == "tfrecord":
+                    from .tfrecord import read_tfrecord_file
+                    t = read_tfrecord_file(spool)
+                else:
+                    t = _read_text_file_table(spool, True, False, False)
+            finally:
+                os.unlink(spool)
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    return from_paths(urls).map_batches(fetch_parse, batch_format="pyarrow",
+                                        batch_size=None)

@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
     "setops_event_users", "multimodal_sniff_decode",
     "tensor_roundtrip_embeddings", "avro_roundtrip_events",
+    "http_source_events", "sparse_tensor_embeddings",
 ]
 
 ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]

@@ -281,3 +281,30 @@ def test_predicate_ast_fuzz_vs_duckdb():
             f"SELECT count(*) FROM read_parquet('{path}') "
             f"WHERE {pred.to_sql()}").fetchone()[0]
         assert got == want, pred.to_sql()
+
+
+def test_sparse_tensor_roundtrip_kernels():
+    """dense->COO->dense identity and exact entry selection (reference
+    SparseTensor, tensor.rs:429-453), including empty rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ml_data_pipeline_ray.stages.tensors import (dense_to_sparse,
+                                                     sparse_to_dense)
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 8)).astype(np.float32)
+    m[5] = 0.0                                        # empty row
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.ravel(), pa.float32()), 8)
+    sp = dense_to_sparse(col, threshold=0.5)
+    # entries == |v| > 0.5, in row-major order
+    idx = sp.field("indices").to_pylist()
+    vals = sp.field("values").to_pylist()
+    for r in range(20):
+        want = [(j, float(m[r, j])) for j in range(8) if abs(m[r, j]) > 0.5]
+        assert list(zip(idx[r], vals[r])) == want, r
+    assert idx[5] == []
+    back = sparse_to_dense(sp, 8)
+    mb = np.asarray(back.values.to_numpy(zero_copy_only=False)).reshape(20, 8)
+    np.testing.assert_array_equal(mb, np.where(np.abs(m) > 0.5, m, 0.0))
