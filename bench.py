@@ -47,6 +47,7 @@ QUERY_SUITE = [
     "part_filter_string_predicates", "jsonl_roundtrip_events",
     # round 3 additions
     "tensor_roundtrip_embeddings", "neardup_minhash_docs", "events_asof_click",
+    "docs_vocab_topk", "docs_pack_chunks",
 ]
 
 

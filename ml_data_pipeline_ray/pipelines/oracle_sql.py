@@ -294,6 +294,49 @@ SELECT doc_id, n_chars FROM (
 """
 
 
+# -- LLM corpus ops: packing / mixture / vocabulary -------------------------
+
+#: chunk_id = floor((running token total BEFORE this doc) / budget) within
+#: each source ordered by doc_id — the greedy overflow-packing rule;
+#: integer division throughout (DuckDB window SUM is HUGEINT, cast back)
+SQL_DOCS_PACK_CHUNKS = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+  FROM documents
+), c AS (
+  SELECT source, tokens,
+         CAST((SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+              // 512 AS BIGINT) AS chunk_id
+  FROM t
+)
+SELECT source, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id
+"""
+
+#: keep iff Knuth-hash bucket (10 bits) < per-source rate; the rate is
+#: 64 + 48*i for src{i}, clipped to 1024 — same arithmetic as
+#: stages/sampling.py (int64-safe: doc_id * 2654435761 < 2^63 for any
+#: doc_id < 2^31)
+SQL_DOCS_MIXTURE_SAMPLE = """
+SELECT doc_id, source, lang, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) // 4194304
+      < LEAST(1024, 64 + 48 * CAST(substr(source, 4) AS BIGINT))
+ORDER BY doc_id
+"""
+
+SQL_DOCS_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 # -- documents text analysis ------------------------------------------------
 
 SQL_DOCS_TOKEN_STATS = """

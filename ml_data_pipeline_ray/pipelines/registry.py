@@ -36,11 +36,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dict_encode_docs": P.dict_encode_docs,
         "setops_event_users": P.setops_event_users,
         "multimodal_sniff_decode": P.multimodal_sniff_decode,
-        # round-3 new coverage
+        # round-3 new coverage (incl. LLM corpus ops: packing/mixture/vocab)
         "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
         "avro_roundtrip_events": P.avro_roundtrip_events,
         "http_source_events": P.http_source_events,
         "sparse_tensor_embeddings": P.sparse_tensor_embeddings,
+        "docs_pack_chunks": X.docs_pack_chunks,
+        "docs_mixture_sample": X.docs_mixture_sample,
+        "docs_vocab_topk": X.docs_vocab_topk,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -159,6 +162,9 @@ def build_oracle_sql() -> dict[str, str]:
         "avro_roundtrip_events": P.SQL_AVRO_ROUNDTRIP_EVENTS,
         "http_source_events": P.SQL_HTTP_SOURCE_EVENTS,
         "sparse_tensor_embeddings": P.sql_sparse_tensor_embeddings(),
+        "docs_pack_chunks": S.SQL_DOCS_PACK_CHUNKS,
+        "docs_mixture_sample": S.SQL_DOCS_MIXTURE_SAMPLE,
+        "docs_vocab_topk": S.SQL_DOCS_VOCAB_TOPK,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

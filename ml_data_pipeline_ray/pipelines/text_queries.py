@@ -14,6 +14,9 @@ from ray.data.aggregate import Count, Sum
 
 from ..sources.readers import read_parquet
 from ..stages import text as T
+from ..stages.packing import pack_by_token_budget
+from ..stages.sampling import mixture_sample
+from ..stages.topk import topk
 from ..stages.ann import brute_force_topk, cosine_pairs_bucketed, ivf_topk
 from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
                             simhash_candidate_pairs, verify_candidate_pairs)
@@ -73,6 +76,47 @@ def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
     out["fp_content"] = out["fp_content"].apply(lambda v: f"{v:016x}")
     out["fp_min"] = out["fp_min"].apply(lambda v: f"{v:016x}")
     return out[["doc_id", "fp_content", "fp_min"]]
+
+
+# -- LLM corpus ops: packing / mixture / vocabulary -------------------------
+
+#: packing budget (tokens per chunk) for the gate query
+PACK_BUDGET = 512
+
+#: deterministic mixture rates out of 1024 per source (src{i} -> 64 + 48*i,
+#: clipped) — mirrored by the oracle's arithmetic on the source suffix
+MIXTURE_RATES_1024 = {f"src{i}": min(1024, 64 + 48 * i) for i in range(64)}
+
+
+def docs_pack_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing: documents -> 512-token-budget chunks per source
+    (see :mod:`..stages.packing` for semantics and the scale argument)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    out = pack_by_token_budget(ds, budget=PACK_BUDGET).to_pandas()
+    return out.sort_values(["source", "chunk_id"]).reset_index(drop=True)
+
+
+def docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted corpus mixing: per-source keep rates applied
+    via a pure per-batch hash filter (no shuffle, no RNG state)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "lang", "n_chars"])
+    out = mixture_sample(ds, MIXTURE_RATES_1024).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "source", "lang", "n_chars"]])
+
+
+def docs_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed vocabulary count -> top-50 tokens: per-batch partial
+    counts (map-side combine), ONE groupby(token) shuffle over distinct
+    tokens only, then the k x blocks top-k reduction (no global sort)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    partial = ds.map_batches(T.token_count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return topk(agg, by=["n", "token"], k=50,
+                descending=[True, False]).reset_index(drop=True)
 
 
 # -- exact dedup ------------------------------------------------------------

@@ -97,6 +97,27 @@ def add_lang_pred(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pred)
 
 
+VOCAB_TOKEN_RE = r"[a-z]+"
+
+
+def token_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial token frequency ``(token, n)`` — the map-side
+    combine of a distributed vocabulary count. The ``groupby(token)`` that
+    follows moves only DISTINCT tokens per batch (bounded by vocabulary,
+    not corpus size), which is what makes a 100-TB vocab count feasible:
+    shuffle bytes ~ blocks x vocab, not one row per token occurrence.
+
+    Tokenization is ``[a-z]+`` runs of the lower-cased text — the exact
+    DuckDB mirror is ``unnest(regexp_extract_all(lower(text), '[a-z]+'))``.
+    """
+    text = pc.utf8_lower(batch.column(text_col))
+    flat = pc.list_flatten(pc.split_pattern_regex(text, "[^a-z]+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat)
+    return pa.table({"token": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting — rolling polynomial hash (winnowing-style minimum)
 # ---------------------------------------------------------------------------

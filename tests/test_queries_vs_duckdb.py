@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "setops_event_users", "multimodal_sniff_decode",
     "tensor_roundtrip_embeddings", "avro_roundtrip_events",
     "http_source_events", "sparse_tensor_embeddings",
+    "docs_pack_chunks", "docs_mixture_sample", "docs_vocab_topk",
 ]
 
 ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]

@@ -308,3 +308,74 @@ def test_sparse_tensor_roundtrip_kernels():
     back = sparse_to_dense(sp, 8)
     mb = np.asarray(back.values.to_numpy(zero_copy_only=False)).reshape(20, 8)
     np.testing.assert_array_equal(mb, np.where(np.abs(m) > 0.5, m, 0.0))
+
+
+# -- LLM corpus ops: packing / mixture sampling / vocab ---------------------
+
+def test_token_count_partial_matches_duckdb():
+    import duckdb
+    from ml_data_pipeline_ray.stages.text import token_count_partial
+
+    t = pa.table({"text": ["The cat AND the dog", "héllo wörld 123", "",
+                           "中文 文本 here", "a  b   c", "THE THE the"]})
+    got = token_count_partial(t).to_pandas().sort_values("token") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("d", t)
+    want = con.sql(
+        "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),"
+        "'[a-z]+')) AS token FROM d) SELECT token, CAST(COUNT(*) AS BIGINT)"
+        " AS n FROM toks GROUP BY token ORDER BY token").df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_hash_bucket_matches_sql_arithmetic():
+    import duckdb
+    from ml_data_pipeline_ray.stages.sampling import hash_bucket_1024
+
+    ids = np.arange(0, 5000, dtype=np.int64)
+    got = hash_bucket_1024(ids)
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT ((i * 2654435761) % 4294967296) // 4194304 AS b "
+        "FROM range(5000) t(i)").fetchnumpy()["b"].astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+    # buckets spread over the full 10-bit range even for sequential ids
+    assert len(np.unique(got)) > 900
+
+
+def test_pack_rule_matches_sql_window():
+    """The greedy overflow-packing rule == the SQL cumsum-window rule, on a
+    shuffled multi-source frame (kernel-level; the distributed path is
+    covered by the oracle gate test)."""
+    import duckdb
+    from ml_data_pipeline_ray.pipelines.oracle_sql import SQL_DOCS_PACK_CHUNKS
+    from ml_data_pipeline_ray.stages.packing import add_ws_token_count
+
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "source": [f"src{i % 5}" for i in range(n)],
+        "doc_id": rng.permutation(n),
+        "text": [" ".join(["w"] * rng.integers(0, 300)) for _ in range(n)]})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(SQL_DOCS_PACK_CHUNKS).df()
+
+    t = add_ws_token_count(pa.Table.from_pandas(df)) \
+        .select(["source", "doc_id", "tokens"]).to_pandas()
+    outs = []
+    for s, g in t.groupby("source"):
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        toks = g["tokens"].to_numpy()[order]
+        chunk = (np.cumsum(toks) - toks) // 512
+        o = (pd.DataFrame({"chunk_id": chunk, "tokens": toks})
+             .groupby("chunk_id", as_index=False)
+             .agg(n_docs=("tokens", "size"), sum_tokens=("tokens", "sum")))
+        o.insert(0, "source", s)
+        outs.append(o)
+    got = (pd.concat(outs).sort_values(["source", "chunk_id"])
+           .reset_index(drop=True)
+           .astype({"chunk_id": "int64", "n_docs": "int64",
+                    "sum_tokens": "int64"}))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
