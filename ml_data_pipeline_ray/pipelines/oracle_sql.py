@@ -479,3 +479,35 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(a.sh || b.sh)) >= 0.5
 """
+
+
+SQL_ORDERS_CUSTOMER_OUTER = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_acctbal AS c_acctbal,
+       o.o_orderkey AS o_orderkey,
+       o.o_totalprice AS o_totalprice
+FROM (SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderpriority = '1-URGENT') o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+# explicit discrete-quantile rule (0-based index ceil(q*n)-1, i.e. rn =
+# ceil(q*n)) on both engines — no library interpolation-rule ambiguity;
+# ties in value are harmless (all tied candidates are the same value)
+SQL_EVENTS_VALUE_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                THEN value END) AS p50,
+       max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+                THEN value END) AS p95
+FROM r GROUP BY event_type
+"""

@@ -44,6 +44,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_chunks": X.docs_pack_chunks,
         "docs_mixture_sample": X.docs_mixture_sample,
         "docs_vocab_topk": X.docs_vocab_topk,
+        "orders_customer_outer": Q.orders_customer_outer,
+        "events_value_quantiles": Q.events_value_quantiles,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -165,6 +167,8 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_pack_chunks": S.SQL_DOCS_PACK_CHUNKS,
         "docs_mixture_sample": S.SQL_DOCS_MIXTURE_SAMPLE,
         "docs_vocab_topk": S.SQL_DOCS_VOCAB_TOPK,
+        "orders_customer_outer": S.SQL_ORDERS_CUSTOMER_OUTER,
+        "events_value_quantiles": S.SQL_EVENTS_VALUE_QUANTILES,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -466,6 +466,68 @@ def events_range_click_count(sf_dir: str) -> pd.DataFrame:
     return tbl.select(["user_id", "event_id", "n_clicks_1h"])
 
 
+def orders_customer_outer(sf_dir: str) -> pa.Table:
+    """FULL OUTER bucketed hash join (§2.5 breadth): BUILDING-segment
+    customers x URGENT orders on custkey — unmatched rows survive on BOTH
+    sides (customers with no urgent order; urgent orders whose customer is
+    outside the segment). Only the bucketed path can express this: a bucket
+    holds all rows of its keys from both sides, so per-bucket full outer is
+    globally correct. Oracle: DuckDB FULL OUTER JOIN with COALESCEd key."""
+    from ..stages.joins import hash_join
+
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                        filter=pc.field("c_mktsegment") == "BUILDING"
+                        ).select_columns(["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["custkey", "c_acctbal"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_custkey", "o_orderkey", "o_totalprice",
+                                   "o_orderpriority"],
+                          filter=pc.field("o_orderpriority") == "1-URGENT"
+                          ).select_columns(["o_custkey", "o_orderkey",
+                                            "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(cust, orders, on=["custkey"], how="outer")
+    return _collect_arrow(joined).select(
+        ["custkey", "c_acctbal", "o_orderkey", "o_totalprice"])
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact order statistics (P5/P6 family): per event type, the
+    p50/p95 of ``value`` under the explicit discrete rule "smallest element
+    with cumulative fraction >= q" (0-based index ``ceil(q*n)-1``) — an
+    actual stored double on both engines, so the comparison is bit-exact
+    with no interpolation-rule ambiguity. Each group reduces to ONE sorted
+    float column; at 100-TB scale swap the in-group sort for a distributed
+    selection / t-digest sketch — the groupby shape is unchanged."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("p50", pa.float64()), ("p95", pa.float64())])
+
+    def qk(g: pa.Table) -> pa.Table:
+        v = g["value"].drop_null().to_numpy()
+        if v.size == 0:
+            return out_schema.empty_table()
+        v = np.sort(v)
+        n = v.size
+
+        def pick(q: float) -> float:
+            return float(v[min(n - 1, max(0, int(np.ceil(q * n)) - 1))])
+
+        return pa.table({"event_type": g["event_type"].slice(0, 1),
+                         "p50": pa.array([pick(0.5)], type=pa.float64()),
+                         "p95": pa.array([pick(0.95)], type=pa.float64())})
+
+    out = (ds.groupby("event_type").map_groups(qk, batch_format="pyarrow")
+           ).to_pandas()
+    return out
+
+
 def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
     """Rolling event-time window (3h moving sum over the hourly aggregate,
     gap-aware RANGE semantics): per event_type, sum of the stabilized hourly

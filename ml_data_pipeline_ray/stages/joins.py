@@ -52,7 +52,8 @@ def _hash_cols(df_or_tbl, on: list[str]) -> np.ndarray:
     return h
 
 
-_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "outer": "full outer"}
 
 
 def _default_shards() -> int:
@@ -396,7 +397,7 @@ def _choose_num_buckets(est_bytes: int | None, cpus: int) -> int:
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
-              how: Literal["inner", "left"] = "inner",
+              how: Literal["inner", "left", "outer"] = "inner",
               num_buckets: int | None = None,
               suffixes: tuple[str, str] = ("", "_r")) -> rd.Dataset:
     """Partitioned (bucketed) hash join of two large Datasets.
@@ -407,6 +408,11 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     round-trips). Partitioning assumption: all rows of a join key land in
     one bucket (guaranteed by the hash); skew in a single key cannot be
     split — salt by replicating the small side if needed.
+
+    ``how="outer"`` (FULL OUTER) is only available on this bucketed path:
+    a bucket holds ALL rows of its keys from BOTH sides, so per-bucket full
+    outer is globally correct — a broadcast join cannot express it (the
+    small side's unmatched rows span every probe batch).
 
     ``num_buckets`` defaults to data-size-aware: ``total input bytes /
     ~512 MiB`` with a 3x-cores floor, so each bucket group stays within a

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Local replica of the driver's correctness run at an arbitrary sf dir.
 
-Usage: PYTHONPATH=. python scripts/check_correctness.py [sf_dir]
+Usage: PYTHONPATH=. python scripts/check_correctness.py [sf_dir] [only1,only2,...]
 Runs every queries() entry against its oracle_sql() in DuckDB and prints a
-per-query PASS/FAIL summary (row count + sorted-value equality).
+per-query PASS/FAIL summary (row count + sorted-value equality). An optional
+second arg restricts the run to a comma-separated subset of query names.
 """
 
 import sys
@@ -15,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -77,6 +79,8 @@ def main():
 
     n_pass = n_fail = 0
     for name, fn in q.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             got = _canon(_to_arrow(fn(SF_DIR)))

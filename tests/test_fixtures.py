@@ -78,6 +78,28 @@ def test_write_fixture_set_files(tmp_path):
     assert total == gen_changelog("tiny", seed=42).num_rows
 
 
+def test_parallel_writer_value_identical(tmp_path, ray_session):
+    """The Ray-parallel fixture writer must produce the SAME files (names,
+    row counts, values, order) as the sequential writer — the _FIXTURE_DONE
+    stamp is shared between them, so cached sets and recorded bench numbers
+    stay comparable regardless of which writer materialized them."""
+    import glob
+
+    seq = write_fixture_set(str(tmp_path / "seq"), scale="tiny", seed=42,
+                            n_files=8, parallel=False)
+    par = write_fixture_set(str(tmp_path / "par"), scale="tiny", seed=42,
+                            n_files=8, parallel=True)
+    for kind in ("transcripts", "changelog"):
+        sf = sorted(glob.glob(seq[kind] + "/*.parquet"))
+        pf = sorted(glob.glob(par[kind] + "/*.parquet"))
+        assert [f.rsplit("/", 1)[1] for f in sf] == \
+               [f.rsplit("/", 1)[1] for f in pf]
+        for a, b in zip(sf, pf):
+            ta, tb = pq.read_table(a), pq.read_table(b)
+            assert ta.schema.equals(tb.schema), (a, b)
+            assert ta.equals(tb), (a, b)
+
+
 def test_evolved_changelog_schemas(tmp_path):
     paths = write_fixture_set(str(tmp_path), scale="tiny", seed=42, n_files=8,
                               evolve=True)
