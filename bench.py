@@ -48,6 +48,8 @@ QUERY_SUITE = [
     # round 3 additions
     "tensor_roundtrip_embeddings", "neardup_minhash_docs", "events_asof_click",
     "docs_vocab_topk", "docs_pack_chunks",
+    "events_range_click_count", "orders_customer_outer",
+    "events_value_quantiles", "customers_without_urgent_orders",
 ]
 
 

@@ -481,6 +481,14 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_mktsegment = 'AUTOMOBILE'
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 SQL_ORDERS_CUSTOMER_OUTER = """
 SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
        c.c_acctbal AS c_acctbal,

@@ -40,9 +40,17 @@ def _collect_arrow(ds: "rd.Dataset") -> pa.Table:
     """Materialize a SMALL result Dataset as one Arrow table, preserving
     exact types (int64-with-null stays int64 — ``to_pandas`` would promote
     to float64/NaN). Empty shuffle partitions produce schema-less 0-row
-    blocks; drop them before concat."""
+    blocks; drop them before concat.
+
+    ``materialize()`` first: ``to_arrow_refs()`` on a lazy plan ending in a
+    shuffle/``map_groups`` streams the bundles and THEN calls
+    ``schema(fetch_if_missing=True)``, which re-plans the WHOLE pipeline
+    under a ``limit=1`` — every collected shuffle query paid ~2x execution
+    (measured: the as-of join's second plan cost ~2.4 s of a 5.3 s wall).
+    A materialized dataset answers ``schema()`` from block metadata."""
     import ray as _ray
-    tables = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    mat = ds.materialize()
+    tables = [t for t in _ray.get(mat.to_arrow_refs()) if t.num_rows > 0]
     return pa.concat_tables(tables, promote_options="permissive")
 
 
@@ -426,17 +434,19 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
 def events_asof_click(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase matched to the user's most recent click at
     or before the purchase time (left-outer). Oracle: DuckDB ASOF LEFT JOIN
-    over the same slices."""
-    from ..stages.joins import asof_join
+    over the same slices. Both sides are slices of the same events table, so
+    the sliced variant reads it ONCE and tags sides with vectorized masks."""
+    from ..stages.joins import asof_join_sliced
 
-    def side(event_type: str) -> rd.Dataset:
-        return read_parquet(_t(sf_dir, "events"),
-                               columns=["user_id", "event_id", "ts",
-                                        "event_type"],
-                               filter=pc.field("event_type") == event_type
-                               ).select_columns(["user_id", "event_id", "ts"])
-
-    joined = asof_join(side("purchase"), side("click"), by="user_id", on="ts")
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts", "event_type"],
+                      filter=pc.field("event_type").isin(["purchase", "click"]))
+    joined = asof_join_sliced(
+        ds, by="user_id", on="ts",
+        left_mask=lambda b: pc.equal(b["event_type"], "purchase"),
+        right_mask=lambda b: pc.equal(b["event_type"], "click"),
+        left_cols=["user_id", "event_id", "ts"],
+        right_cols=["user_id", "event_id", "ts"])
     # Collect as Arrow (small result) so click_event_id stays int64-with-null
     # rather than pandas' float64-with-NaN — the driver's value hash is exact.
     tbl = _collect_arrow(joined)
@@ -448,20 +458,20 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
 def events_range_click_count(sf_dir: str) -> pd.DataFrame:
     """Range (interval) join: per purchase, the count of the same user's
     clicks in the preceding hour ``(ts - 1h, ts]`` — two vectorized
-    searchsorted scans per user group; output linear in purchases."""
-    from ..stages.joins import range_join_count
+    searchsorted scans per user group; output linear in purchases. Single
+    scan of events (both sides are slices of it), sides tagged by mask."""
+    from ..stages.joins import range_join_count_sliced
 
-    def side(event_type: str) -> rd.Dataset:
-        return read_parquet(_t(sf_dir, "events"),
-                               columns=["user_id", "event_id", "ts",
-                                        "event_type"],
-                               filter=pc.field("event_type") == event_type
-                               ).select_columns(["user_id", "event_id", "ts"])
-
-    out = range_join_count(side("purchase"), side("click"), by="user_id",
-                           on="ts", lo_offset=np.timedelta64(-1, "h"),
-                           hi_offset=np.timedelta64(0, "h"),
-                           count_col="n_clicks_1h")
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts", "event_type"],
+                      filter=pc.field("event_type").isin(["purchase", "click"]))
+    out = range_join_count_sliced(
+        ds, by="user_id", on="ts",
+        left_mask=lambda b: pc.equal(b["event_type"], "purchase"),
+        right_mask=lambda b: pc.equal(b["event_type"], "click"),
+        left_cols=["user_id", "event_id", "ts"],
+        lo_offset=np.timedelta64(-1, "h"), hi_offset=np.timedelta64(0, "h"),
+        count_col="n_clicks_1h")
     tbl = _collect_arrow(out)
     return tbl.select(["user_id", "event_id", "n_clicks_1h"])
 
@@ -494,6 +504,27 @@ def orders_customer_outer(sf_dir: str) -> pa.Table:
     joined = hash_join(cust, orders, on=["custkey"], how="outer")
     return _collect_arrow(joined).select(
         ["custkey", "c_acctbal", "o_orderkey", "o_totalprice"])
+
+
+def customers_without_urgent_orders(sf_dir: str) -> pa.Table:
+    """Broadcast ANTI join (§2.5 breadth — semi has Q:q3_top_orders, anti had
+    only pytest proof): AUTOMOBILE-segment customers that placed no URGENT
+    order. The key set is the distinct ``o_custkey`` values of the filtered
+    slice, deduplicated distributed (only distinct keys reach the driver)
+    and broadcast ONCE via ``ray.put`` — at a scale where even the distinct
+    key set exceeds the broadcast caps, flip to ``hash_join(how='outer')``
+    + null-filter, which shuffles instead. Oracle: NOT IN subquery."""
+    keys = set(read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_custkey", "o_orderpriority"],
+                            filter=pc.field("o_orderpriority") == "1-URGENT"
+                            ).unique("o_custkey"))
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_name", "c_acctbal",
+                                 "c_mktsegment"],
+                        filter=pc.field("c_mktsegment") == "AUTOMOBILE"
+                        ).select_columns(["c_custkey", "c_name", "c_acctbal"])
+    out = broadcast_semi_join(cust, keys, on=["c_custkey"], anti=True)
+    return _collect_arrow(out)
 
 
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:

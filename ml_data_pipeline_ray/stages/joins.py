@@ -65,6 +65,33 @@ def _default_shards() -> int:
     return max(16, 3 * cpus)
 
 
+#: below this, another shard buys no parallelism worth its machinery: each
+#: shuffle shard becomes one Ray group (~ms of sort/reduce bookkeeping), so
+#: 96 shards over a 2 MB filtered slice is pure fixed cost.
+_MIN_SHARD_BYTES = 4 << 20
+
+
+def _keyed_shards(left: rd.Dataset, right: rd.Dataset | None = None) -> int:
+    """Bytes-aware shard count for the keyed-kernel shuffles: tiny inputs
+    collapse to a few shards (fixed per-shard machinery dominated the wall
+    at small scale), medium inputs use the ~3x-cores parallelism target, and
+    huge inputs grow PAST it so one shard never exceeds
+    ~``_TARGET_BUCKET_BYTES`` in a worker heap (same memory bound as
+    ``hash_join`` buckets — at 100 TB a cores-only count would put ~1 TB in
+    a single ``map_groups`` group). Estimates are metadata-only and
+    overestimate filtered scans (full-file bytes), which errs toward more
+    shards — the safe direction."""
+    par = _default_shards()
+    est = _estimate_input_bytes(left) or 0
+    if right is not None:
+        est += _estimate_input_bytes(right) or 0
+    if not est:
+        return par
+    small = -(-est // _MIN_SHARD_BYTES)
+    big = -(-est // _TARGET_BUCKET_BYTES)
+    return max(big, min(par, small), 1)
+
+
 class _BroadcastJoiner:
     """Per-batch zero-copy Arrow hash join against the broadcast side. The
     instance holds only the ObjectRef (tiny per-task pickle); the table
@@ -235,7 +262,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
     from .transforms import align_to_schema
 
-    num_shards = _default_shards()
+    num_shards = _keyed_shards(left, right)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -263,6 +290,16 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         + [pa.field(rrename[f.name], f.type) for f in rschema
            if rrename[f.name] in rcols])
 
+    return _asof_reduce(both, lcols, rcols, by, on, direction, out_schema)
+
+
+def _asof_reduce(both: rd.Dataset, lcols: list[str], rcols: list[str],
+                 by: str, on: str, direction: str,
+                 out_schema: pa.Schema) -> rd.Dataset:
+    """Shared as-of reduce: ONE shuffle on the precomputed ``_shard`` column
+    co-locates every key's rows, then a vectorized ``pd.merge_asof`` per
+    shard (sorted by ``on``, keyed by ``by``)."""
+
     def join_shard(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
         rg = g[g["_side"] == 1][[by, on] + rcols].sort_values(
@@ -277,6 +314,62 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
                                     ).replace_schema_metadata(None)
 
     return both.groupby("_shard").map_groups(join_shard, batch_format="pandas")
+
+
+def asof_join_sliced(ds: rd.Dataset, by: str, on: str,
+                     left_mask, right_mask,
+                     left_cols: list[str], right_cols: list[str],
+                     direction: Literal["backward", "forward"] = "backward",
+                     suffix: str = "_r") -> rd.Dataset:
+    """As-of join where BOTH sides are row-slices of ONE dataset (e.g.
+    purchases vs clicks of the same events table): a single scan tags the
+    two sides with vectorized boolean masks. ``asof_join(slice_a, slice_b)``
+    over the same source executes the shared read lineage twice — Ray Data
+    does not dedupe common subplans across union branches — so this variant
+    halves the scan (and at 100 TB, scans dominate).
+
+    ``left_mask`` / ``right_mask``: callables ``pa.Table ->`` boolean array
+    (e.g. ``lambda b: pc.equal(b["event_type"], "purchase")``). Mask-only
+    columns may be absent from ``left_cols`` / ``right_cols``."""
+    schema = _pa_schema(ds)
+    lschema = pa.schema([schema.field(c) for c in left_cols])
+    rschema = pa.schema([schema.field(c) for c in right_cols])
+    rrename = {c: (c + suffix if c in left_cols and c not in (by, on) else c)
+               for c in right_cols}
+    rcols = [rrename[c] for c in right_cols if c not in (by, on)]
+
+    fields = {f.name: f for f in lschema}
+    for f in rschema:
+        name = rrename[f.name]
+        if name not in fields:
+            fields[name] = pa.field(name, f.type)
+    unified = pa.schema(list(fields.values()))
+
+    from .transforms import align_to_schema
+
+    num_shards = _keyed_shards(ds)
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side, mask, cols in ((0, left_mask(batch), left_cols),
+                                 (1, right_mask(batch), right_cols)):
+            part = batch.filter(mask).select(cols)
+            if side == 1:
+                part = part.rename_columns([rrename[c] for c in cols])
+            part = align_to_schema(part, unified)
+            shard = (_hash_cols(part, [by]) % num_shards).astype(np.int32)
+            parts.append(part.append_column(
+                "_side", pa.array(np.full(part.num_rows, side, dtype=np.int8))
+            ).append_column("_shard", pa.array(shard)))
+        return pa.concat_tables(parts)
+
+    both = ds.map_batches(tag_both, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out_schema = pa.schema(
+        [lschema.field(c) for c in left_cols]
+        + [pa.field(rrename[f.name], f.type) for f in rschema
+           if rrename[f.name] in rcols])
+    return _asof_reduce(both, left_cols, rcols, by, on, direction, out_schema)
 
 
 def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
@@ -296,7 +389,7 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     by the shard count, not key cardinality)."""
     lschema = _pa_schema(left)
     lcols = list(lschema.names)
-    num_shards = _default_shards()
+    num_shards = _keyed_shards(left, right)
 
     def tag(side: int, keep: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -315,7 +408,51 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
                             zero_copy_batch=True).union(
         right.map_batches(tag(1, [by, on]), batch_format="pyarrow",
                           zero_copy_batch=True))
+    return _range_reduce(both, lcols, by, on, lo_offset, hi_offset, count_col,
+                         lschema)
 
+
+def range_join_count_sliced(ds: rd.Dataset, by: str, on: str,
+                            left_mask, right_mask, left_cols: list[str],
+                            lo_offset, hi_offset,
+                            count_col: str = "n_in_range") -> rd.Dataset:
+    """Range-join count where both sides are row-slices of ONE dataset: a
+    single scan tags sides with vectorized masks (see
+    :func:`asof_join_sliced` for why — Ray Data executes the shared read
+    lineage once per union branch)."""
+    schema = _pa_schema(ds)
+    lschema = pa.schema([schema.field(c) for c in left_cols])
+    lcols = list(left_cols)
+    num_shards = _keyed_shards(ds)
+
+    from .transforms import align_to_schema
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side, mask, keep in ((0, left_mask(batch), lcols),
+                                 (1, right_mask(batch), [by, on])):
+            part = batch.filter(mask).select(keep)
+            target = pa.schema([lschema.field(c) if c in lschema.names
+                                else part.schema.field(c) for c in lcols])
+            part = align_to_schema(part, target)
+            shard = (_hash_cols(part, [by]) % num_shards).astype(np.int32)
+            parts.append(part.append_column(
+                "_side", pa.array(np.full(part.num_rows, side, dtype=np.int8))
+            ).append_column("_shard", pa.array(shard)))
+        return pa.concat_tables(parts)
+
+    both = ds.map_batches(tag_both, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _range_reduce(both, lcols, by, on, lo_offset, hi_offset, count_col,
+                         lschema)
+
+
+def _range_reduce(both: rd.Dataset, lcols: list[str], by: str, on: str,
+                  lo_offset, hi_offset, count_col: str,
+                  lschema: pa.Schema) -> rd.Dataset:
+    """Shared range-count reduce: ONE shuffle on ``_shard``, then per key
+    inside the shard two vectorized ``searchsorted`` scans over that key's
+    sorted right-side times."""
     # Exact output schema (left columns + int64 count): the tagged union pads
     # right-side rows with nulls, which makes pandas promote left int columns
     # to float64 for the whole group — cast back when emitting so the output
@@ -366,24 +503,45 @@ _PARQUET_EXPANSION = 3
 
 
 def _estimate_input_bytes(ds: rd.Dataset) -> int | None:
-    """Cheap (metadata-only) in-memory size estimate from the plan's input
-    files. ``Dataset.size_bytes()`` executes mapped plans, so it can't be
-    used here; on-disk parquet bytes x expansion overestimates when columns
-    were pruned, which errs toward MORE buckets (safe direction)."""
+    """Cheap (metadata-only) in-memory size estimate, without executing.
+    ``Dataset.size_bytes()`` executes mapped plans, so it can't be used
+    here, and ``Dataset.input_files()`` returns ``[]`` once any
+    ``map_batches`` wraps the read — so walk the logical plan to the Read
+    leaves and use each datasource's own metadata estimate (falling back to
+    on-disk bytes x expansion). Overestimates filtered/pruned scans, which
+    errs toward MORE buckets — the safe direction."""
     try:
         files = ds.input_files()
     except Exception:
+        files = []
+    if files:
+        import os
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                return None
+        return total * _PARQUET_EXPANSION
+
+    # mapped plan: find the Read leaves (private API — best-effort)
+    try:
+        total = 0
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+                continue
+            dsrc = getattr(op, "_datasource", None)
+            est = dsrc.estimate_inmemory_data_size() if dsrc else None
+            if est is None:
+                return None
+            total += int(est)
+        return total or None
+    except Exception:
         return None
-    if not files:
-        return None
-    import os
-    total = 0
-    for f in files:
-        try:
-            total += os.path.getsize(f)
-        except OSError:
-            return None
-    return total * _PARQUET_EXPANSION
 
 
 def _choose_num_buckets(est_bytes: int | None, cpus: int) -> int:

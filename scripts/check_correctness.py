@@ -27,7 +27,9 @@ def _to_arrow(res) -> pa.Table:
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
     import ray
-    return pa.concat_tables(ray.get(res.to_arrow_refs()))
+    # materialize() first: to_arrow_refs() on a lazy shuffle plan re-plans
+    # the whole pipeline under limit=1 for its schema fetch (~2x execution)
+    return pa.concat_tables(ray.get(res.materialize().to_arrow_refs()))
 
 
 def _canon(tbl: pa.Table) -> pd.DataFrame:

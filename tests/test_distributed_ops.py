@@ -194,3 +194,75 @@ def test_asof_join_directions():
                     ).to_pandas().sort_values("lv")
     assert [v if pd.notna(v) else None for v in fwd["rv"]] \
         == ["y", None, "z", None]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliced_variants_match_two_dataset_forms(tmp_path):
+    """asof_join_sliced / range_join_count_sliced (single scan + mask
+    tagging) must equal the two-dataset forms over the same slices."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ml_data_pipeline_ray.stages.joins import (
+        asof_join, asof_join_sliced, range_join_count,
+        range_join_count_sliced)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64()),
+        "side": pa.array(rng.choice(["l", "r"], n)),
+    })
+    path = str(tmp_path / "both.parquet")
+    pq.write_table(t, path)
+    ds = rd.read_parquet(path)
+    lds = rd.read_parquet(path, filter=pc.field("side") == "l"
+                          ).select_columns(["k", "t", "v"])
+    rds = rd.read_parquet(path, filter=pc.field("side") == "r"
+                          ).select_columns(["k", "t", "v"])
+
+    def canon(df):
+        return (df.sort_values(list(df.columns), kind="mergesort")
+                .reset_index(drop=True))
+
+    a1 = canon(asof_join(lds, rds, by="k", on="t").to_pandas())
+    a2 = canon(asof_join_sliced(
+        ds, by="k", on="t",
+        left_mask=lambda b: pc.equal(b["side"], "l"),
+        right_mask=lambda b: pc.equal(b["side"], "r"),
+        left_cols=["k", "t", "v"], right_cols=["k", "t", "v"]).to_pandas())
+    pd.testing.assert_frame_equal(a1, a2)
+
+    r1 = canon(range_join_count(lds, rds, by="k", on="t",
+                                lo_offset=-50, hi_offset=0).to_pandas())
+    r2 = canon(range_join_count_sliced(
+        ds, by="k", on="t",
+        left_mask=lambda b: pc.equal(b["side"], "l"),
+        right_mask=lambda b: pc.equal(b["side"], "r"),
+        left_cols=["k", "t", "v"],
+        lo_offset=-50, hi_offset=0).to_pandas())
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyed_shards_bytes_aware(tmp_path):
+    """Tiny inputs collapse to a few shards; estimates survive mapped plans
+    (input_files() is empty after map_batches — the walk to Read leaves
+    must still find the datasource)."""
+    import pyarrow.parquet as pq
+    from ml_data_pipeline_ray.sources.readers import read_parquet
+    from ml_data_pipeline_ray.stages.joins import (_default_shards,
+                                                   _estimate_input_bytes,
+                                                   _keyed_shards)
+
+    t = pa.table({"a": pa.array(np.arange(1000), pa.int64())})
+    path = str(tmp_path / "tiny.parquet")
+    pq.write_table(t, path)
+    ds = read_parquet(path)          # wrapper adds a map_batches
+    assert ds.input_files() == []    # the failure mode being guarded
+    est = _estimate_input_bytes(ds)
+    assert est is not None and 0 < est < (4 << 20)
+    n = _keyed_shards(ds, ds)
+    assert isinstance(n, int)
+    assert 1 <= n < _default_shards()

@@ -45,8 +45,11 @@ def _to_arrow(res) -> pa.Table:
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
     import ray
+    # materialize() first — to_arrow_refs() on a lazy shuffle plan re-plans
+    # the pipeline under limit=1 for its schema fetch (~2x execution)
     return pa.concat_tables(
-        [t for t in ray.get(res.to_arrow_refs()) if t.num_rows > 0],
+        [t for t in ray.get(res.materialize().to_arrow_refs())
+         if t.num_rows > 0],
         promote_options="permissive")
 
 
