@@ -481,6 +481,15 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+SQL_EVENTS_LAG_DELTA = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT) AS delta_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
 WHERE c_mktsegment = 'AUTOMOBILE'

@@ -47,6 +47,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_outer": Q.orders_customer_outer,
         "events_value_quantiles": Q.events_value_quantiles,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
+        "events_lag_delta": Q.events_lag_delta,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -171,6 +172,7 @@ def build_oracle_sql() -> dict[str, str]:
         "orders_customer_outer": S.SQL_ORDERS_CUSTOMER_OUTER,
         "events_value_quantiles": S.SQL_EVENTS_VALUE_QUANTILES,
         "customers_without_urgent_orders": S.SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
+        "events_lag_delta": S.SQL_EVENTS_LAG_DELTA,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -559,6 +559,54 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Keyed window functions (LAG + ROW_NUMBER): for every event, the
+    microseconds since the same user's previous event (null for the user's
+    first) and the 1-based per-user position under the deterministic order
+    ``(ts, event_id)``. Shape: ONE shuffle on ``hash(user_id) %``
+    bytes-aware shards, then a single vectorized pass per shard (sort +
+    boundary-masked diff — no per-row Python, no per-key groups). Deltas are
+    exact int64 microseconds so both engines compare bit-identical."""
+    from ..stages.joins import _hash_cols, _keyed_shards
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts"])
+    num_shards = _keyed_shards(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        shard = (_hash_cols(batch, ["user_id"]) % num_shards).astype(np.int32)
+        return batch.append_column("_shard", pa.array(shard))
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                            ("rn", pa.int64()), ("delta_us", pa.int64())])
+
+    def window_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        starts = idx[first]
+        rn = idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": pa.array(g["event_id"].to_numpy()),
+            "rn": pa.array(rn),
+            "delta_us": pa.array(delta, type=pa.int64(), mask=first),
+        }, schema=out_schema)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("_shard").map_groups(window_shard, batch_format="pandas"))
+    return _collect_arrow(out).select(
+        ["user_id", "event_id", "rn", "delta_us"])
+
+
 def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
     """Rolling event-time window (3h moving sum over the hourly aggregate,
     gap-aware RANGE semantics): per event_type, sum of the stabilized hourly
