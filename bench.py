@@ -50,7 +50,8 @@ QUERY_SUITE = [
     "docs_vocab_topk", "docs_pack_chunks",
     "events_range_click_count", "orders_customer_outer",
     "events_value_quantiles", "customers_without_urgent_orders",
-    "events_lag_delta",
+    "events_lag_delta", "docs_term_scrub", "events_rollup",
+    "docs_decontaminate",
 ]
 
 

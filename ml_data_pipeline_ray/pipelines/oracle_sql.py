@@ -481,6 +481,45 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+# 3-token shingles on both engines: engine side tokenizes with
+# regexp [a-z0-9]+ lowercased and hashes each trigram (distinct per doc);
+# here the same trigrams stay strings. Counts compare exactly (a 64-bit
+# hash collision between distinct trigrams is the only divergence mode).
+SQL_DOCS_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+  FROM tok
+), bench AS (
+  SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 97 = 0
+)
+SELECT sh.doc_id,
+       len(list_intersect(sh.s, bench.bs))::BIGINT AS n_contaminated
+FROM sh, bench
+WHERE sh.doc_id % 97 <> 0 AND len(list_intersect(sh.s, bench.bs)) > 0
+ORDER BY sh.doc_id
+"""
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+"""
+
+
+SQL_DOCS_TERM_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|spark)\b', '[X]', 'g') AS text,
+       len(regexp_extract_all(text, '\b(customer|spark)\b'))::BIGINT
+           AS n_redacted
+FROM documents
+"""
+
+
 SQL_EVENTS_LAG_DELTA = """
 SELECT user_id, event_id,
        row_number() OVER w AS rn,

@@ -48,6 +48,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": Q.events_value_quantiles,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
         "events_lag_delta": Q.events_lag_delta,
+        "docs_term_scrub": X.docs_term_scrub,
+        "events_rollup": Q.events_rollup,
+        "docs_decontaminate": X.docs_decontaminate,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -173,6 +176,9 @@ def build_oracle_sql() -> dict[str, str]:
         "events_value_quantiles": S.SQL_EVENTS_VALUE_QUANTILES,
         "customers_without_urgent_orders": S.SQL_CUSTOMERS_WITHOUT_URGENT_ORDERS,
         "events_lag_delta": S.SQL_EVENTS_LAG_DELTA,
+        "docs_term_scrub": S.SQL_DOCS_TERM_SCRUB,
+        "events_rollup": S.SQL_EVENTS_ROLLUP,
+        "docs_decontaminate": S.SQL_DOCS_DECONTAMINATE,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -39,6 +39,43 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "n_tokens", "n_chars_text"]).to_pandas()
 
 
+def docs_term_scrub(sf_dir: str) -> pd.DataFrame:
+    """Pattern-redaction operator (the PII-scrub shape — emails/phones/IDs —
+    exercised here with a term pattern the synthetic corpus actually
+    contains): every ``\\b(customer|spark)\\b`` match replaced with ``[X]``,
+    per-doc match count appended. No shuffle; exact RE2-vs-RE2 oracle."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: T.scrub_pattern(b, pattern=r"\b(customer|spark)\b"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text", "n_redacted"]).to_pandas()
+
+
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (core LLM-training-data op): flag every
+    training doc that shares ANY 3-token shingle with the held-out
+    eval/benchmark slice (here ``doc_id % 97 == 0``), with the count of
+    overlapping distinct shingles. Benchmark shingle set built distributed,
+    deduped map-side, broadcast once; the training-side scan is one
+    shuffle-free membership pass. Oracle: DuckDB list_intersect over the
+    same 3-gram shingles."""
+    from ..stages.dedup import decontaminate_flags
+
+    def slice_mod(want_bench: bool):
+        # Arrow dataset expressions have no modulo — vectorized batch mask
+        def fn(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return b.filter(pa.array(m if want_bench else ~m))
+        return read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = decontaminate_flags(slice_mod(False), slice_mod(True),
+                              id_col="doc_id", k=3)
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_quality_by_source(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
     def metrics(b: pa.Table) -> pa.Table:

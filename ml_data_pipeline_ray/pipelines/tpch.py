@@ -351,6 +351,31 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical aggregate (GROUP BY ROLLUP): event counts at
+    (event_type, hour), per-type subtotals (hour NULL), and a grand total
+    (both NULL). The coarser levels derive from the FINEST aggregate —
+    input-sized work happens exactly once in the distributed groupby; the
+    rollup re-aggregates only the (tiny, groups-sized) result. Counts only,
+    so every level is exact int64."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
+
+    fine = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events"))).to_pandas()
+    sub = (fine.groupby("event_type", as_index=False)["n_events"].sum()
+           .assign(hour=pd.NaT))
+    total = pd.DataFrame([{"event_type": None, "hour": pd.NaT,
+                           "n_events": fine["n_events"].sum()}])
+    out = pd.concat([fine, sub, total], ignore_index=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["hour"] = pd.to_datetime(out["hour"])
+    return out[["event_type", "hour", "n_events"]]
+
+
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: per user, count sessions split at >30 min gaps.
     Implemented as groupby(user).map_groups over ts-sorted groups (the

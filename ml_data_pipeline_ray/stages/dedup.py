@@ -136,6 +136,93 @@ def jaccard_pairs(ids: np.ndarray, shingle_sets: list[set],
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (training-data op: flag docs overlapping an
+# eval/benchmark set by any k-token shingle)
+# ---------------------------------------------------------------------------
+
+def benchmark_shingle_hashes(bench: rd.Dataset, text_col: str = "text",
+                             k: int = 3) -> np.ndarray:
+    """Sorted distinct k-token shingle hashes of the (small) benchmark
+    corpus. Deduped MAP-SIDE: each batch ships only its distinct hashes, so
+    what reaches the driver is bounded by the benchmark's distinct-shingle
+    count, not its row count — the benchmark/eval set is the small side by
+    definition (it must be broadcastable for the scan-side membership
+    test)."""
+    import ray
+
+    def distinct_hashes(batch: pa.Table) -> pa.Table:
+        th, counts = tokenize_offsets(batch[text_col])
+        sh, _ = shingle_hashes(th, counts, k=k)
+        return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
+
+    parts = bench.map_batches(distinct_hashes, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tables = [t for t in ray.get(parts.materialize().to_arrow_refs())
+              if t.num_rows > 0]
+    if not tables:
+        return np.zeros(0, np.uint64)
+    return np.unique(pa.concat_tables(tables)["h"].to_numpy())
+
+
+class _ContaminationCounter:
+    """Per-batch contamination count against the broadcast benchmark
+    shingle-hash set (resolved lazily from the local object store — never
+    re-shipped per batch). Emits only contaminated rows: (id, n_contaminated
+    = count of the row's DISTINCT shingles present in the benchmark set)."""
+
+    def __init__(self, bench_ref, id_col: str, text_col: str, k: int):
+        self._ref = bench_ref
+        self.bench = None
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        if self.bench is None:
+            self.bench = (ray.get(self._ref)
+                          if isinstance(self._ref, ray.ObjectRef)
+                          else self._ref)
+        th, counts = tokenize_offsets(batch[self.text_col])
+        sh, win = shingle_hashes(th, counts, k=self.k)
+        n_rows = batch.num_rows
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), win)
+        # per-row distinct shingles: lexsort (row, hash), drop repeats
+        order = np.lexsort((sh, row))
+        r2, s2 = row[order], sh[order]
+        keep = np.ones(r2.size, dtype=bool)
+        keep[1:] = (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])
+        r3, s3 = r2[keep], s2[keep]
+        # membership via searchsorted on the sorted benchmark array
+        if self.bench.size:
+            idx = np.minimum(np.searchsorted(self.bench, s3),
+                             self.bench.size - 1)
+            hit = self.bench[idx] == s3
+        else:
+            hit = np.zeros(s3.size, dtype=bool)
+        n_hits = np.bincount(r3[hit], minlength=n_rows).astype(np.int64)
+        flag = n_hits > 0
+        return pa.table({
+            self.id_col: batch[self.id_col].filter(pa.array(flag)),
+            "n_contaminated": pa.array(n_hits[flag], pa.int64()),
+        })
+
+
+def decontaminate_flags(ds: rd.Dataset, bench: rd.Dataset,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3) -> rd.Dataset:
+    """Benchmark decontamination: rows of ``ds`` sharing ANY k-token shingle
+    with the benchmark corpus, with the count of overlapping distinct
+    shingles. Shape: benchmark shingle set built distributed + broadcast
+    once (``ray.put``), then one embarrassingly-parallel membership scan —
+    no shuffle touches the big side."""
+    import ray
+
+    bench_hashes = benchmark_shingle_hashes(bench, text_col=text_col, k=k)
+    ref = ray.put(bench_hashes)
+    return ds.map_batches(_ContaminationCounter(ref, id_col, text_col, k),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # exact dedup (distributed)
 # ---------------------------------------------------------------------------
 

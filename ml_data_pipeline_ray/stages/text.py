@@ -37,6 +37,23 @@ def stopword_regex(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
+def scrub_pattern(batch: pa.Table, pattern: str, replacement: str = "[X]",
+                  text_col: str = "text") -> pa.Table:
+    """Pattern redaction (the PII-scrub operator of a training-data pipeline,
+    e.g. emails/phones/IDs; any RE2 pattern): replaces every match of
+    ``pattern`` with ``replacement`` and appends ``n_redacted`` (match count
+    per row). Pure ``pyarrow.compute`` RE2 kernels — embarrassingly parallel,
+    no shuffle, no per-row Python; DuckDB's regexp functions are RE2 too, so
+    the oracle comparison is exact."""
+    text = batch.column(text_col)
+    scrubbed = pc.replace_substring_regex(text, pattern=pattern,
+                                          replacement=replacement)
+    n = pc.count_substring_regex(text, pattern=pattern).cast(pa.int64())
+    batch = batch.set_column(batch.column_names.index(text_col),
+                             text_col, scrubbed)
+    return batch.append_column("n_redacted", n)
+
+
 def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens`` (count of ``[A-Za-z0-9]+`` runs) and ``n_chars_text``
     (UTF-8 character length)."""

@@ -84,35 +84,13 @@ def _oracle_for_tiny(e, name: str) -> str:
             .replace("mdpr_parity_tensor_sf0.01", "mdpr_parity_tensor_sf0.001"))
 
 
-QUERY_NAMES = [
-    "cdc_replay", "cdc_replay_two_stage", "cdc_replay_rounds",
-    "cdc_replay_evolved", "cdc_replay_compacted", "cdc_tail_incremental",
-    "cdc_time_travel",
-    "q1_pricing_summary", "q6_revenue", "q3_top_orders", "nation_revenue",
-    "top_orders", "orders_per_priority", "customer_segments", "parts_by_brand",
-    "supplier_balance_by_nation", "lineitem_filter_predicates",
-    "part_filter_string_predicates",
-    "events_hourly", "events_sessions", "events_user_stats",
-    "events_systematic_sample", "union_event_slices", "events_onehot",
-    "events_asof_click", "events_range_click_count", "events_rolling_3h",
-    "events_props_k", "csv_roundtrip_supplier",
-    "distinct_event_types",
-    "docs_token_stats", "docs_quality_by_source", "docs_langid",
-    "dedup_exact_events", "dedup_exact_docs",
-    "neardup_minhash", "neardup_minhash_docs", "neardup_ngram",
-    "neardup_embedding", "ann_topk",
-    "csv_inference_messy", "csv_seek_supplier", "text_lines_docs",
-    "tfrecord_roundtrip_docs",
-    "arrow_ipc_roundtrip_nation", "jsonl_roundtrip_events",
-    "sql_source_events",
-    "timeseries_fill_hourly", "scaler_moments_lineitem", "dict_encode_docs",
-    "setops_event_users", "multimodal_sniff_decode",
-    "tensor_roundtrip_embeddings", "avro_roundtrip_events",
-    "http_source_events", "sparse_tensor_embeddings",
-    "docs_pack_chunks", "docs_mixture_sample", "docs_vocab_topk",
-]
+# Derived from the registry at collection time (a static list silently
+# drifted behind new queries): every oracle-backed query is compared, every
+# rows-only one at least runs.
+from ml_data_pipeline_ray.pipelines import build_oracle_sql, build_queries
 
-ROWS_ONLY = ["docs_fingerprint", "neardup_simhash", "ann_ivf"]
+QUERY_NAMES = list(build_oracle_sql().keys())
+ROWS_ONLY = [n for n in build_queries() if n not in set(QUERY_NAMES)]
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
