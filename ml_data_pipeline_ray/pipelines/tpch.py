@@ -557,30 +557,16 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     p50/p95 of ``value`` under the explicit discrete rule "smallest element
     with cumulative fraction >= q" (0-based index ``ceil(q*n)-1``) — an
     actual stored double on both engines, so the comparison is bit-exact
-    with no interpolation-rule ambiguity. Each group reduces to ONE sorted
-    float column; at 100-TB scale swap the in-group sort for a distributed
-    selection / t-digest sketch — the groupby shape is unchanged."""
+    with no interpolation-rule ambiguity. Computed by the DISTRIBUTED exact
+    selection in :mod:`..stages.quantiles` (moments pass → per-group
+    histogram pass → narrow exact pick) — nothing larger than a histogram
+    per group ever sits in one worker, unlike a ``map_groups`` sort which
+    would materialize a whole group (terabytes at 100 TB scale)."""
+    from ..stages.quantiles import grouped_quantiles
+
     ds = read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
-
-    out_schema = pa.schema([("event_type", pa.string()),
-                            ("p50", pa.float64()), ("p95", pa.float64())])
-
-    def qk(g: pa.Table) -> pa.Table:
-        v = g["value"].drop_null().to_numpy()
-        if v.size == 0:
-            return out_schema.empty_table()
-        v = np.sort(v)
-        n = v.size
-
-        def pick(q: float) -> float:
-            return float(v[min(n - 1, max(0, int(np.ceil(q * n)) - 1))])
-
-        return pa.table({"event_type": g["event_type"].slice(0, 1),
-                         "p50": pa.array([pick(0.5)], type=pa.float64()),
-                         "p95": pa.array([pick(0.95)], type=pa.float64())})
-
-    out = (ds.groupby("event_type").map_groups(qk, batch_format="pyarrow")
-           ).to_pandas()
+    out = grouped_quantiles(ds, key="event_type", value="value",
+                            qs=[0.5, 0.95])
     return out
 
 

@@ -266,3 +266,33 @@ def test_keyed_shards_bytes_aware(tmp_path):
     n = _keyed_shards(ds, ds)
     assert isinstance(n, int)
     assert 1 <= n < _default_shards()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_exact_vs_sort():
+    """The three-pass distributed exact selection (moments -> histogram ->
+    narrow pick) must equal a full per-group sort under the discrete rank
+    rule, including nulls and a constant-valued group (degenerate zero-width
+    histogram bin)."""
+    from ml_data_pipeline_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 50000
+    keys = rng.choice(["a", "b", "c", "d"], n)
+    vals = rng.normal(0, 10, n)
+    vals[keys == "c"] = 7.0                  # constant group
+    mask = rng.random(n) < 0.05              # proper Arrow nulls
+    t = pa.table({"k": keys, "v": pa.array(vals, type=pa.float64(),
+                                           mask=mask)})
+    got = (grouped_quantiles(rd.from_arrow(t), "k", "v", [0.5, 0.95])
+           .sort_values("k").reset_index(drop=True))
+
+    rows = []
+    for k, g in t.to_pandas().dropna(subset=["v"]).groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        nn = v.size
+        rows.append({"k": k} | {
+            f"p{int(q * 100)}": v[min(nn - 1, max(0, int(np.ceil(q * nn)) - 1))]
+            for q in (0.5, 0.95)})
+    want = pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
