@@ -51,7 +51,7 @@ QUERY_SUITE = [
     "events_range_click_count", "orders_customer_outer",
     "events_value_quantiles", "customers_without_urgent_orders",
     "events_lag_delta", "docs_term_scrub", "events_rollup",
-    "docs_decontaminate",
+    "docs_decontaminate", "orders_top3_per_priority",
 ]
 
 

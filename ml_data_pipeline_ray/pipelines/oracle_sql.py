@@ -520,6 +520,15 @@ FROM documents
 """
 
 
+SQL_ORDERS_TOP3_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
 SQL_EVENTS_LAG_DELTA = """
 SELECT user_id, event_id,
        row_number() OVER w AS rn,

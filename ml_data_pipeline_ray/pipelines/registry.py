@@ -51,6 +51,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_scrub": X.docs_term_scrub,
         "events_rollup": Q.events_rollup,
         "docs_decontaminate": X.docs_decontaminate,
+        "orders_top3_per_priority": Q.orders_top3_per_priority,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -179,6 +180,7 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_term_scrub": S.SQL_DOCS_TERM_SCRUB,
         "events_rollup": S.SQL_EVENTS_ROLLUP,
         "docs_decontaminate": S.SQL_DOCS_DECONTAMINATE,
+        "orders_top3_per_priority": S.SQL_ORDERS_TOP3_PER_PRIORITY,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

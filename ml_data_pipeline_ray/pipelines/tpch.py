@@ -570,6 +570,22 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def orders_top3_per_priority(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (per priority, the 3 priciest orders, orderkey
+    tiebreak): map-side pruning keeps at most k rows per group per block,
+    so input-sized data never shuffles — only ``k x groups x blocks``
+    candidates reach the merge. Oracle: ROW_NUMBER window + rn <= k."""
+    from ..stages.topk import grouped_topk
+
+    ds = read_parquet(_t(sf_dir, "orders"),
+                      columns=["o_orderpriority", "o_orderkey",
+                               "o_totalprice"])
+    out = grouped_topk(ds, group="o_orderpriority",
+                       by=["o_totalprice", "o_orderkey"], k=3,
+                       descending=[True, False])
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+
 def events_lag_delta(sf_dir: str) -> pd.DataFrame:
     """Keyed window functions (LAG + ROW_NUMBER): for every event, the
     microseconds since the same user's previous event (null for the user's
