@@ -40,6 +40,20 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
 
 
+def _bin_of(v: np.ndarray, vmin: np.ndarray, width: np.ndarray,
+            num_bins: int) -> np.ndarray:
+    """Histogram bin per value — identical formula in both passes. Robust to
+    ±inf values (an infinite group range makes ``width`` inf/NaN: the scaled
+    position goes NaN/±inf and is clamped into the end bins, which only
+    degrades the pick pass's selectivity for that group — the result stays
+    exact because per-bin ordering never relies on the bin WIDTH, only on
+    consistent assignment + exact counts)."""
+    with np.errstate(invalid="ignore", over="ignore"):
+        x = (v - vmin) / width
+    x = np.nan_to_num(x, nan=0.0, posinf=float(num_bins - 1), neginf=0.0)
+    return np.clip(x, 0, num_bins - 1).astype(np.int64)
+
+
 def _ranks(n: np.ndarray, qs: list[float]) -> np.ndarray:
     """Discrete rank per (group, quantile): 1-based ``ceil(q*n)`` clamped to
     ``[1, n]`` — "smallest element with cumulative fraction >= q"."""
@@ -96,8 +110,7 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
             g = pc.index_in(b[key], value_set=key_arr).cast(pa.int64()
                                                             ).to_numpy()
             v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
-            bins = np.clip(((v - vmin[g]) / width[g]).astype(np.int64),
-                           0, num_bins - 1)
+            bins = _bin_of(v, vmin[g], width[g], num_bins)
             flat = g * num_bins + bins
             uniq, cnt = np.unique(flat, return_counts=True)
             return pa.table({"_cell": pa.array(uniq),
@@ -154,8 +167,7 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
             g = pc.index_in(b[key], value_set=key_arr).cast(pa.int64()
                                                             ).to_numpy()
             v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
-            bins = np.clip(((v - vmin[g]) / width[g]).astype(np.int64),
-                           0, num_bins - 1)
+            bins = _bin_of(v, vmin[g], width[g], num_bins)
             flat = g * num_bins + bins
             idx = np.searchsorted(want_flat, flat)
             hit = np.zeros(flat.size, dtype=bool)

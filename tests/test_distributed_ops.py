@@ -296,3 +296,20 @@ def test_grouped_quantiles_exact_vs_sort():
             for q in (0.5, 0.95)})
     want = pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_with_infinities():
+    """±inf values make a group's histogram range infinite (width NaN) —
+    assignment clamps into end bins and the pick stays exact."""
+    from ml_data_pipeline_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(0, 1, 997), [np.inf, np.inf, -np.inf]])
+    rng.shuffle(vals)
+    t = pa.table({"k": ["g"] * 1000, "v": pa.array(vals, pa.float64())})
+    got = grouped_quantiles(rd.from_arrow(t), "k", "v", [0.5, 0.95])
+    v = np.sort(vals)
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        want = v[min(999, max(0, int(np.ceil(q * 1000)) - 1))]
+        assert got[col].iloc[0] == want
