@@ -24,6 +24,13 @@ all identical — the pick is that constant without needing them in memory
 before leaving, so a hot bin ships at most ``distinct-values-in-bin`` per
 task, and a constant bin ships ONE value per task).
 
+Cardinality regime: this shape targets FEW-to-MODERATE groups with
+arbitrarily HUGE per-group data (the regime where a per-group sort dies) —
+the histogram shuffle moves at most ``groups x num_bins`` count rows and
+the driver holds one (groups x quantiles) index array. For the opposite
+regime (millions of tiny groups), a plain ``groupby(key).map_groups`` sort
+is already scale-safe because each group fits a worker; pick by regime.
+
 The reference has no quantile operator (SURVEY §2.6 P5/P6 family is
 count/sum/min/max — ``ml-data`` has no aggregate kernels at all); this is
 the brief's "novel sketch"-class custom operator, built exact rather than
