@@ -576,3 +576,32 @@ SELECT event_type,
                 THEN value END) AS p95
 FROM r GROUP BY event_type
 """
+
+
+# -- reshape operators (pivot / unpivot / explode) ---------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+SQL_EVENTS_PIVOT_TYPES = "SELECT user_id, " + ", ".join(
+    [f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+     for t in _PIVOT_TYPES] +
+    [f"round(round(coalesce(sum(value) FILTER (event_type = '{t}'), 0)"
+     f" * 1e2) / 1e2, 2) AS sum_{t}" for t in _PIVOT_TYPES]
+) + " FROM events GROUP BY user_id"
+
+SQL_LINEITEM_UNPIVOT_STATS = """
+SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value
+FROM (
+  SELECT l_returnflag, metric, value FROM lineitem
+  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+)
+GROUP BY l_returnflag, metric
+"""
+
+SQL_DOCS_WORDS_EXPLODE = """
+SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+       unnest(toks) AS word
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents WHERE doc_id < 20)
+"""

@@ -52,6 +52,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": Q.events_rollup,
         "docs_decontaminate": X.docs_decontaminate,
         "orders_top3_per_priority": Q.orders_top3_per_priority,
+        "events_pivot_types": Q.events_pivot_types,
+        "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
+        "docs_words_explode": X.docs_words_explode,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -181,6 +184,9 @@ def build_oracle_sql() -> dict[str, str]:
         "events_rollup": S.SQL_EVENTS_ROLLUP,
         "docs_decontaminate": S.SQL_DOCS_DECONTAMINATE,
         "orders_top3_per_priority": S.SQL_ORDERS_TOP3_PER_PRIORITY,
+        "events_pivot_types": S.SQL_EVENTS_PIVOT_TYPES,
+        "lineitem_unpivot_stats": S.SQL_LINEITEM_UNPIVOT_STATS,
+        "docs_words_explode": S.SQL_DOCS_WORDS_EXPLODE,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -275,3 +275,19 @@ def neardup_minhash_docs(sf_dir: str) -> pd.DataFrame:
     out["id_a"] = out["id_a"].astype(np.int64)
     out["id_b"] = out["id_b"].astype(np.int64)
     return out
+
+
+def docs_words_explode(sf_dir: str) -> pd.DataFrame:
+    """Flat_map/explode: one row per token with its 1-based position
+    (doc_id < 20 keeps the exploded result driver-sized; the filter is
+    pushed to parquet row groups). Oracle: unnest(regexp_extract_all) +
+    generate_subscripts."""
+    from ..stages.reshape import explode_tokens
+
+    from ..stages.predicates import Compare
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"],
+                      filter=Compare("doc_id", "lt", 20).to_expression())
+    out = ds.map_batches(explode_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.to_pandas()

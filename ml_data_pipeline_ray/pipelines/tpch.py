@@ -696,3 +696,36 @@ def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "events"), columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pd.DataFrame({"event_type": vals})
+
+
+def events_pivot_types(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long→wide): per user, one count column per event_type plus a
+    per-type value sum — ONE groupby shuffle over map-side indicator
+    partials (shuffle bytes ~ users × types, not events). Oracle: the same
+    pivot as SQL conditional aggregation (FILTER)."""
+    from ..stages.reshape import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_type", "value"])
+    out = pivot_counts(ds, "user_id", "event_type", types,
+                       value_col="value").to_pandas()
+    spec = {f"sum_{t}": 2 for t in types}
+    return _round(_stab(out, spec), spec)
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
+    """Unpivot/melt (wide→long): the three lineitem measures stacked into
+    (metric, value) rows — a shuffle-free per-batch reshape — then one
+    grouped aggregate per (returnflag, metric). Oracle: SQL UNPIVOT."""
+    from ..stages.reshape import unpivot
+
+    ds = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_quantity",
+                               "l_extendedprice", "l_discount"])
+    long = unpivot(ds, ["l_returnflag"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+    out = (long.groupby(["l_returnflag", "metric"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))).to_pandas()
+    return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})

@@ -379,3 +379,48 @@ def test_pack_rule_matches_sql_window():
            .astype({"chunk_id": "int64", "n_docs": "int64",
                     "sum_tokens": "int64"}))
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+# -- reshape: pivot / unpivot / explode --------------------------------------
+
+def test_explode_tokens_positions_and_empties():
+    import pyarrow as pa
+    from ml_data_pipeline_ray.stages.reshape import explode_tokens
+
+    b = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["The fast-Key", "", "a  b", "42!"]})
+    out = explode_tokens(b)
+    assert out["doc_id"].to_pylist() == [1, 1, 1, 3, 3]
+    assert out["pos"].to_pylist() == [1, 2, 3, 1, 2]
+    assert out["word"].to_pylist() == ["the", "fast", "key", "a", "b"]
+    empty = explode_tokens(b.slice(1, 1))
+    assert empty.num_rows == 0
+
+
+def test_unpivot_and_pivot_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.reshape import pivot_counts, unpivot
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 200),
+        "t": rng.choice(["x", "y", "z"], 200),
+        "v": rng.integers(0, 100, 200).astype(float),
+        "w": rng.integers(0, 10, 200).astype(float),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+
+    long = unpivot(ds, ["g"], ["v", "w"]).to_pandas()
+    assert len(long) == 2 * len(df)
+    assert long.groupby("metric")["value"].sum()["v"] == df["v"].sum()
+
+    wide = (pivot_counts(ds, "g", "t", ["x", "y", "z"], value_col="v")
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    want_n = pd.crosstab(df["g"], df["t"])
+    want_s = pd.crosstab(df["g"], df["t"], values=df["v"], aggfunc="sum").fillna(0.0)
+    for t in ["x", "y", "z"]:
+        assert wide[f"n_{t}"].tolist() == want_n[t].tolist()
+        assert wide[f"sum_{t}"].tolist() == want_s[t].tolist()
