@@ -605,3 +605,46 @@ SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
       FROM documents WHERE doc_id < 20)
 """
+
+
+# -- k-means (2 Lloyd iterations unrolled; see stages/clustering.py) ---------
+
+def sql_embeddings_kmeans(k: int = 4, d: int = 64) -> str:
+    dist = ("list_sum(list_transform(range(1, {n}), "
+            "i -> (q.e[i] - c.e[i]) ^ 2))".format(n=d + 1))
+    assign = """
+a{j} AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT q.vec_id, q.e, c.cl,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cl) AS rn
+    FROM q, {cents} c) WHERE rn = 1
+)"""
+    update = """
+u{j} AS (
+  SELECT cl, list(m ORDER BY i) AS e FROM (
+    SELECT a.cl, i, floor(sum(a.e[i]) / count(*) * 8 + 0.5) / 8 AS m
+    FROM a{j} a, range(1, {n}) t(i) GROUP BY a.cl, i) GROUP BY cl
+),
+m{j} AS (  -- empty clusters keep their previous centroid
+  SELECT p.cl, coalesce(u.e, p.e) AS e
+  FROM {prev} p LEFT JOIN u{j} u USING (cl)
+)"""
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1024 + 0.5)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, e
+  FROM q ORDER BY vec_id LIMIT {k}
+),{assign.format(j=1, dist=dist, cents="c0")},{update.format(j=1, n=d + 1, prev="c0")},{assign.format(j=2, dist=dist, cents="m1")},{update.format(j=2, n=d + 1, prev="m1")}
+SELECT m2.cl AS cluster,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(s.id_sum, 0) AS BIGINT) AS id_sum,
+       CAST(m2.e[1] * 8 AS BIGINT) AS c0_x8
+FROM m2 LEFT JOIN (
+  SELECT cl, count(*) AS n, sum(vec_id) AS id_sum FROM a2 GROUP BY cl
+) s USING (cl)
+"""

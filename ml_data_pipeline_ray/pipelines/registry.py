@@ -55,6 +55,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_types": Q.events_pivot_types,
         "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "docs_words_explode": X.docs_words_explode,
+        "embeddings_kmeans": X.embeddings_kmeans,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -187,6 +188,7 @@ def build_oracle_sql() -> dict[str, str]:
         "events_pivot_types": S.SQL_EVENTS_PIVOT_TYPES,
         "lineitem_unpivot_stats": S.SQL_LINEITEM_UNPIVOT_STATS,
         "docs_words_explode": S.SQL_DOCS_WORDS_EXPLODE,
+        "embeddings_kmeans": S.sql_embeddings_kmeans(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

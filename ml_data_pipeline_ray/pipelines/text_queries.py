@@ -291,3 +291,24 @@ def docs_words_explode(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(explode_tokens, batch_format="pyarrow",
                          zero_copy_batch=True)
     return out.to_pandas()
+
+
+def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact k-means (k=4, 2 Lloyd iterations) under the
+    bit-exact determinism contract (`stages/clustering.py` module doc):
+    integer-grid inputs + 1/8-grid snapped means make every distance an
+    exact multiple of 1/64, so the assignment — and therefore the hash —
+    is identical to the SQL-unrolled oracle. Output: per-cluster size and
+    id-sum of the FINAL assignment plus the first centroid component
+    (×8, an exact integer) of the final update."""
+    from ..stages.clustering import kmeans_fit
+
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    cent, counts, id_sums = kmeans_fit(ds, k=4, n_iter=2)
+    return pd.DataFrame({
+        "cluster": np.arange(4, dtype=np.int64),
+        "n": counts.astype(np.int64),
+        "id_sum": id_sums.astype(np.int64),
+        "c0_x8": (cent[:, 0] * 8).astype(np.int64),
+    })

@@ -313,3 +313,46 @@ def test_grouped_quantiles_with_infinities():
     for q, col in ((0.5, "p50"), (0.95, "p95")):
         want = v[min(999, max(0, int(np.ceil(q * 1000)) - 1))]
         assert got[col].iloc[0] == want
+
+
+def test_kmeans_matches_single_process_reference(ray_session):
+    """Distributed Lloyd (map-side partials over many blocks) must equal a
+    plain single-process implementation of the same determinism contract,
+    including the final assignment witnesses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.clustering import (MEAN_GRID,
+                                                        QUANT_SCALE,
+                                                        kmeans_fit)
+
+    rng = np.random.default_rng(3)
+    n, d, k, iters = 700, 16, 5, 4
+    x = rng.normal(scale=0.4, size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1).astype(np.float32)), d)
+        .cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(9)
+    cent, counts, id_sums = kmeans_fit(ds, k=k, n_iter=iters)
+
+    # single-process reference under the identical contract
+    xq = np.floor(x.astype(np.float64) * QUANT_SCALE + 0.5)
+    order = np.argsort(ids)
+    ref_cent = xq[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((xq[:, None, :] - ref_cent[None]) ** 2).sum(2)
+        a = d2.argmin(1)
+        ref_counts = np.bincount(a, minlength=k)
+        ref_id_sums = np.bincount(a, weights=ids.astype(np.float64),
+                                  minlength=k).astype(np.int64)
+        for c in np.flatnonzero(ref_counts):
+            ref_cent[c] = np.floor(xq[a == c].sum(0) / ref_counts[c]
+                                   * MEAN_GRID + 0.5) / MEAN_GRID
+    assert counts.tolist() == ref_counts.tolist()
+    assert id_sums.tolist() == ref_id_sums.tolist()
+    assert np.array_equal(cent, ref_cent)
