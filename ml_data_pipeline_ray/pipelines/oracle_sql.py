@@ -648,3 +648,25 @@ FROM m2 LEFT JOIN (
   SELECT cl, count(*) AS n, sum(vec_id) AS id_sum FROM a2 GROUP BY cl
 ) s USING (cl)
 """
+
+
+def sql_neardup_components(scale: str = DRIVER_SCALE) -> str:
+    """Component labels over the exact-Jaccard pair set: recursive
+    reachability (id reaches r through any edge path), component = min
+    reachable id. Mirrors the distributed min-label propagation exactly —
+    both compute min-id-in-component over the identical edge list."""
+    pair_sql = _sql_shingle_pairs(scale, SAMPLE_MAX_MINHASH,
+                                  JACCARD_THRESHOLD)
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+)
+SELECT id AS rid, min(r) AS comp FROM reach GROUP BY id
+"""

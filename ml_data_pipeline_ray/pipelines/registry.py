@@ -56,6 +56,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "docs_words_explode": X.docs_words_explode,
         "embeddings_kmeans": X.embeddings_kmeans,
+        "neardup_components": X.neardup_components,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -189,6 +190,7 @@ def build_oracle_sql() -> dict[str, str]:
         "lineitem_unpivot_stats": S.SQL_LINEITEM_UNPIVOT_STATS,
         "docs_words_explode": S.SQL_DOCS_WORDS_EXPLODE,
         "embeddings_kmeans": S.sql_embeddings_kmeans(),
+        "neardup_components": S.sql_neardup_components(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -312,3 +312,20 @@ def embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
         "id_sum": id_sums.astype(np.int64),
         "c0_x8": (cent[:, 0] * 8).astype(np.int64),
     })
+
+
+def neardup_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERS: the verified MinHash pair list (same pipeline as
+    ``neardup_minhash``) labelled by distributed min-label propagation —
+    every member of a duplicate group gets the group's minimum id
+    (`stages/components.py`), which makes representative-keeping a filter.
+    Oracle: recursive reachability (WITH RECURSIVE) + min over the same
+    exact-Jaccard pair set."""
+    from ..stages.components import components_of_pairs
+
+    ds = _sample_ds(sf_dir, SAMPLE_MAX_MINHASH)
+    cand = minhash_candidate_pairs(ds, id_col="rid")
+    pairs = verify_candidate_pairs(ds, cand, id_col="rid",
+                                   threshold=JACCARD_THRESHOLD, k=3)
+    out = components_of_pairs(pairs)
+    return out.rename(columns={"id": "rid"})

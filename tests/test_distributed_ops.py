@@ -356,3 +356,45 @@ def test_kmeans_matches_single_process_reference(ray_session):
     assert counts.tolist() == ref_counts.tolist()
     assert id_sums.tolist() == ref_id_sums.tolist()
     assert np.array_equal(cent, ref_cent)
+
+
+def test_connected_components_vs_union_find(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 400
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    # add a 30-node chain (worst-case diameter shape for label propagation)
+    chain = np.arange(1000, 1030)
+    ea = np.concatenate([a, chain[:-1]])
+    eb = np.concatenate([b, chain[1:]])
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for x, y in zip(ea.tolist(), eb.tolist()):
+        union(x, y)
+    want = {x: find(x) for x in parent}
+    # canonical min-id per component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in parent}
+
+    edges = rd.from_arrow(pa.table({"id_a": ea, "id_b": eb})).repartition(5)
+    got = connected_components(edges).to_pandas()
+    got_map = dict(zip(got["id"], got["comp"]))
+    assert got_map == want
