@@ -670,3 +670,25 @@ reach(id, r) AS (
 )
 SELECT id AS rid, min(r) AS comp FROM reach GROUP BY id
 """
+
+
+SQL_DOCS_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY word),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id, word AS top_term, tf, df
+FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((SELECT n_docs FROM n) / df.df) DESC,
+                    tf.word) AS rn
+  FROM tf JOIN df USING (word)
+) WHERE rn = 1
+"""

@@ -57,6 +57,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_words_explode": X.docs_words_explode,
         "embeddings_kmeans": X.embeddings_kmeans,
         "neardup_components": X.neardup_components,
+        "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -191,6 +192,7 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_words_explode": S.SQL_DOCS_WORDS_EXPLODE,
         "embeddings_kmeans": S.sql_embeddings_kmeans(),
         "neardup_components": S.sql_neardup_components(),
+        "docs_tfidf_top_terms": S.SQL_DOCS_TFIDF_TOP_TERMS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

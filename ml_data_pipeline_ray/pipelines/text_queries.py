@@ -329,3 +329,21 @@ def neardup_components(sf_dir: str) -> pd.DataFrame:
                                    threshold=JACCARD_THRESHOLD, k=3)
     out = components_of_pairs(pairs)
     return out.rename(columns={"id": "rid"})
+
+
+def docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF top term per document: document frequency built distributed
+    (per-batch distinct partials, ONE vocab-scale groupby) and broadcast
+    once; tf + tf-idf + per-doc argmax fuse into a single shuffle-free
+    batch pass (a doc's rows never leave their batch). Floats never leave
+    the pipeline — output is (doc_id, top_term, tf, df)."""
+    import ray as _ray
+
+    from ..stages.text import TfIdfTopTerm, build_doc_freq
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    words, dfs, n_docs = build_doc_freq(ds)
+    ref = _ray.put({"words": words, "dfs": dfs, "n_docs": n_docs})
+    out = ds.map_batches(TfIdfTopTerm(ref), batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

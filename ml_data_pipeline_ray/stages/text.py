@@ -231,3 +231,104 @@ class Fingerprinter:
             mins = np.minimum.reduceat(wh, w_starts[has])
             fp_min[has] = mins
         return fp_content, fp_min
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — document-frequency broadcast + fused per-batch top-term pick
+# ---------------------------------------------------------------------------
+
+def doc_freq_partial(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Map-side combine of the document-frequency count: per batch, one
+    ``(word, df)`` row per distinct (doc, word) — bounded by vocabulary ×
+    docs-in-batch, so the groupby(word) shuffle that follows moves
+    vocab-scale rows, not token occurrences."""
+    text = pc.utf8_lower(batch.column(text_col))
+    lists = pc.split_pattern_regex(text, "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    t = pa.table({"d": parent.filter(mask), "word": flat.filter(mask)})
+    distinct = t.group_by(["d", "word"]).aggregate([])
+    vc = pc.value_counts(distinct.column("word").combine_chunks())
+    return pa.table({"word": vc.field("values"),
+                     "df": vc.field("counts").cast(pa.int64())})
+
+
+def build_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed document frequency: per-batch distinct partials → ONE
+    groupby(word) Sum → the (vocab-sized) df table plus the total doc
+    count. Returns ``(df_words, df_counts, n_docs)`` ready to broadcast."""
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(doc_freq_partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_kwargs={"text_col": text_col})
+           .groupby("word").aggregate(Sum("df", alias_name="df")))
+    tbl = pa.concat_tables([t for t in _collect_refs(agg) if t.num_rows],
+                           promote_options="permissive")
+    n_docs = ds.count()
+    return (tbl.column("word").to_numpy(zero_copy_only=False),
+            tbl.column("df").to_numpy(zero_copy_only=False), n_docs)
+
+
+def _collect_refs(ds):
+    import ray as _ray
+    return _ray.get(ds.materialize().to_arrow_refs())
+
+
+class TfIdfTopTerm:
+    """Per-batch fused tf + tf-idf + per-doc top-term pick against the
+    broadcast df table. A document's rows are whole within its batch, so
+    the per-doc argmax needs NO shuffle — output is one row per doc.
+
+    Determinism: idf = ln(n_docs/df) is precomputed per distinct df with
+    ``math.log`` (glibc libm — the same correctly-rounded path DuckDB's
+    ``ln`` uses; numpy's SIMD ``np.log`` can differ by 1 ulp and is
+    avoided); ties broken by (tfidf desc, word asc) in both engines."""
+
+    def __init__(self, df_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self._ref = df_ref
+        self.idf = None
+        self.text_col, self.id_col = text_col, id_col
+
+    def _resolve(self):
+        import math
+
+        import ray as _ray
+        d = (_ray.get(self._ref)
+             if isinstance(self._ref, _ray.ObjectRef) else self._ref)
+        words, dfs, n = d["words"], d["dfs"], d["n_docs"]
+        self.words = pa.array(words, pa.string())
+        self.dfs = np.asarray(dfs, dtype=np.int64)
+        self.idf = np.array([math.log(n / int(f)) for f in dfs])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.idf is None:
+            self._resolve()
+        text = pc.utf8_lower(batch.column(self.text_col))
+        lists = pc.split_pattern_regex(text, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        t = pa.table({"d": parent.filter(mask), "word": flat.filter(mask)})
+        tf = t.group_by(["d", "word"]).aggregate([("word", "count")])
+        drow = tf.column("d").to_numpy(zero_copy_only=False)
+        tfv = tf.column("word_count").to_numpy(zero_copy_only=False)
+        wix = pc.index_in(tf.column("word"), self.words) \
+            .to_numpy(zero_copy_only=False)
+        tfidf = tfv * self.idf[wix]
+        words = tf.column("word").to_numpy(zero_copy_only=False)
+        # per-doc argmax with (tfidf desc, word asc) tie-break: lexsort is
+        # stable from the last key, so order by doc, then -tfidf, then word
+        order = np.lexsort((words, -tfidf, drow))
+        first = np.flatnonzero(np.diff(drow[order], prepend=np.int64(-1)))
+        pick = order[first]
+        ids = batch.column(self.id_col).take(pa.array(drow[pick]))
+        return pa.table({
+            self.id_col: ids,
+            "top_term": pa.array(words[pick], pa.string()),
+            "tf": pa.array(tfv[pick].astype(np.int64)),
+            "df": pa.array(self.dfs[wix[pick]]),
+        })
