@@ -683,6 +683,74 @@ class CDCEngine:
             tbl = tbl.sort_by([(k, "ascending") for k in self.key])
         return tbl
 
+    def table_changes(self, v_from: int, v_to: int | None = None
+                      ) -> rd.Dataset:
+        """The lake as a CDC **source**: the exact row-level diff between
+        two committed versions — ``(key..., change ∈ insert/update/delete,
+        new payload columns — null for deletes)``.
+
+        Scale design: partitions whose manifest file entry is IDENTICAL at
+        both versions are pruned before any read (an incremental commit
+        rewrites only touched partitions, so the diff reads only those);
+        the remaining live snapshots full-outer ``hash_join`` on the key.
+        "Update" is detected by the per-row ``_lsn`` (the winning event's
+        LSN — rewritten iff a newer event won the key), so payload-equal
+        rewrites are still reported, exactly like the changelog semantics.
+        Robust to compaction: a compacted ``v_to`` drops tombstones, but a
+        key live at ``v_from`` and absent at ``v_to`` is still a delete via
+        the outer join."""
+        from ..stages.joins import hash_join
+
+        pf1 = self.manifest.partition_files(v_from)
+        pf2 = self.manifest.partition_files(v_to)
+        pids = [p for p in set(pf1) | set(pf2) if pf1.get(p) != pf2.get(p)]
+        f1 = sorted(pf1[p] for p in pids if p in pf1)
+        f2 = sorted(pf2[p] for p in pids if p in pf2)
+
+        def _live(files: list[str], cols: list[str]) -> rd.Dataset:
+            schema = unify_parquet_schemas(files)
+            ds = read_parquet(files, schema=schema,
+                              filter=~pc.field(LAKE_DELETED_COL))
+            return ds.select_columns(cols)
+
+        base = unify_parquet_schemas(f2 or f1 or
+                                     sorted(pf2.values() or pf1.values()))
+        payload = [n for n in base.names
+                   if n not in (*self.key, LAKE_LSN_COL, LAKE_DELETED_COL)]
+
+        def _empty(cols: list[str]) -> rd.Dataset:
+            names = [c if c in base.names else LAKE_LSN_COL for c in cols]
+            t = base.empty_table().select(names).rename_columns(cols)
+            return rd.from_arrow(t)
+
+        old_cols = [*self.key, "_lsn_from"]
+        new_cols = [*self.key, "_lsn_to", *payload]
+        old = (_live(f1, [*self.key, LAKE_LSN_COL]).map_batches(
+            lambda b: b.rename_columns(old_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
+            if f1 else _empty(old_cols))
+        new = (_live(f2, [*self.key, LAKE_LSN_COL, *payload]).map_batches(
+            lambda b: b.rename_columns(new_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
+            if f2 else _empty(new_cols))
+        joined = hash_join(old, new, on=list(self.key), how="outer")
+
+        def classify(b: pa.Table) -> pa.Table:
+            lf, lt = b.column("_lsn_from"), b.column("_lsn_to")
+            change = pc.if_else(
+                pc.is_null(lf), pa.scalar("insert"),
+                pc.if_else(pc.is_null(lt), pa.scalar("delete"),
+                           pa.scalar("update")))
+            out = b.drop_columns(["_lsn_from", "_lsn_to"])
+            out = out.add_column(len(self.key), "change", change)
+            # unchanged rows (same winning LSN on both sides) are not changes
+            keep = pc.or_kleene(pc.is_null(lf), pc.or_kleene(
+                pc.is_null(lt), pc.not_equal(lf, lt)))
+            return out.filter(pc.fill_null(keep, False))
+
+        return joined.map_batches(classify, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
 
 def _lsn_bounds(files: list[str], lsn_col: str) -> tuple[int, int]:
     """(min, max) LSN across files from parquet row-group statistics."""

@@ -119,3 +119,31 @@ def cdc_time_travel(sf_dir: str) -> pa.Table:
     eng.replay(files, lsn_min=mid)
     assert eng.manifest.current_version() == v1 + 1
     return eng.final_table(sort=True, version=v1).select(FINAL_COLS)
+
+
+def cdc_table_changes(sf_dir: str) -> pa.Table:
+    """The lake as a CDC **source**: replay in two transactions split at
+    the midpoint LSN, then read the exact row diff v1→v2 via
+    ``CDCEngine.table_changes`` (manifest-level partition pruning + one
+    full-outer hash join of the live snapshots; updates detected by the
+    winning-event LSN). Oracle: the same diff computed from the changelog
+    with two LWW window queries FULL JOINed in SQL."""
+    import glob as _glob
+    import os
+
+    paths = fixture_paths(scale_for_sf_dir(sf_dir))
+    files = sorted(_glob.glob(os.path.join(paths["changelog"], "*.parquet")))
+    from ..cdc.replay import _lsn_bounds
+    lo, hi = _lsn_bounds(files, "lsn")
+    mid = (lo + hi) // 2
+    eng = CDCEngine(_fresh_lake(), num_partitions=NUM_PARTITIONS)
+    eng.replay(files, lsn_max=mid)
+    v1 = eng.manifest.current_version()
+    eng.replay(files, lsn_min=mid)
+    ds = eng.table_changes(v_from=v1)
+    import pyarrow as _pa
+    import ray as _ray
+    tables = [t for t in _ray.get(ds.materialize().to_arrow_refs())
+              if t.num_rows]
+    out = _pa.concat_tables(tables, promote_options="permissive")
+    return out.select(["conv_id", "turn_idx", "change", *FINAL_COLS[2:]])

@@ -692,3 +692,37 @@ FROM (
   FROM tf JOIN df USING (word)
 ) WHERE rn = 1
 """
+
+
+def sql_cdc_table_changes(scale: str = DRIVER_SCALE) -> str:
+    """Row diff between the mid-LSN snapshot and the final snapshot, from
+    the changelog: two LWW window states FULL JOINed on the key; change
+    type from side presence, updates = winning-LSN difference."""
+    return f"""
+WITH bounds AS (
+  SELECT (min(lsn) + max(lsn)) // 2 AS mid
+  FROM read_parquet('{changelog_glob(scale)}')
+), ev AS (
+  SELECT *, CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END AS op_rank
+  FROM read_parquet('{changelog_glob(scale)}')
+), r1 AS (
+  SELECT conv_id, turn_idx, lsn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+    FROM ev WHERE lsn <= (SELECT mid FROM bounds))
+  WHERE rn = 1 AND op <> 'delete'
+), r2 AS (
+  SELECT conv_id, turn_idx, lsn, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+    FROM ev)
+  WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN a.lsn IS NULL THEN 'insert'
+            WHEN b.lsn IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       b.role AS role, b.text AS text, b.tool AS tool, b.ts AS ts
+FROM r1 a FULL JOIN r2 b USING (conv_id, turn_idx)
+WHERE a.lsn IS NULL OR b.lsn IS NULL OR a.lsn <> b.lsn
+"""

@@ -65,6 +65,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_compacted": C.cdc_replay_compacted,
         "cdc_tail_incremental": C.cdc_tail_incremental,
         "cdc_time_travel": C.cdc_time_travel,
+        "cdc_table_changes": C.cdc_table_changes,
         # cheap reader/stateful parity
         "csv_seek_supplier": P.csv_seek_supplier,
         "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
@@ -127,6 +128,7 @@ def build_oracle_sql() -> dict[str, str]:
         "cdc_replay_compacted": S.sql_cdc_replay(),
         "cdc_tail_incremental": S.sql_cdc_replay(),
         "cdc_time_travel": S.sql_cdc_time_travel(),
+        "cdc_table_changes": S.sql_cdc_table_changes(),
         "q1_pricing_summary": S.SQL_Q1,
         "q6_revenue": S.SQL_Q6,
         "q3_top_orders": S.SQL_Q3,

@@ -93,3 +93,42 @@ def test_time_travel_versions(small_fixture, tmp_path):
     assert not t1.equals(t2)          # state evolved between versions
     with pytest.raises(ValueError, match="not been committed"):
         eng.final_dataset(version=99)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_changes_diff_and_converged_empty(small_fixture, tmp_path):
+    """table_changes(v1) between the mid-LSN and final versions equals the
+    brute diff of the two materialized snapshots; re-replaying a converged
+    lake yields an EMPTY diff (winning LSNs unchanged everywhere)."""
+    from ml_data_pipeline_ray.cdc.replay import _lsn_bounds
+
+    files = sorted(glob.glob(small_fixture["changelog"] + "/*.parquet"))
+    lo, hi = _lsn_bounds(files, "lsn")
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.replay(files, lsn_max=(lo + hi) // 2)
+    v1 = eng.manifest.current_version()
+    eng.replay(files, lsn_min=(lo + hi) // 2)
+
+    got = (eng.table_changes(v_from=v1).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    s1 = eng.final_table(version=v1).to_pandas().set_index(
+        ["conv_id", "turn_idx"])
+    s2 = eng.final_table().to_pandas().set_index(["conv_id", "turn_idx"])
+    inserts = set(s2.index) - set(s1.index)
+    deletes = set(s1.index) - set(s2.index)
+    want_ins = {k for k, c in zip(zip(got["conv_id"], got["turn_idx"]),
+                                  got["change"]) if c == "insert"}
+    want_del = {k for k, c in zip(zip(got["conv_id"], got["turn_idx"]),
+                                  got["change"]) if c == "delete"}
+    assert want_ins == inserts
+    assert want_del == deletes
+    # updates are a superset check: every reported update exists in both
+    ups = got[got["change"] == "update"]
+    for k in zip(ups["conv_id"], ups["turn_idx"]):
+        assert k in s1.index and k in s2.index
+
+    # converged re-replay → empty diff
+    v2 = eng.manifest.current_version()
+    eng.replay(files)
+    assert eng.table_changes(v_from=v2).count() == 0
