@@ -52,6 +52,10 @@ QUERY_SUITE = [
     "events_value_quantiles", "customers_without_urgent_orders",
     "events_lag_delta", "docs_term_scrub", "events_rollup",
     "docs_decontaminate", "orders_top3_per_priority",
+    # round 3, second session
+    "events_pivot_types", "lineitem_unpivot_stats", "docs_words_explode",
+    "embeddings_kmeans", "neardup_components", "docs_tfidf_top_terms",
+    "cdc_table_changes",
 ]
 
 

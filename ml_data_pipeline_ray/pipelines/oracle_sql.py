@@ -726,3 +726,42 @@ SELECT conv_id, turn_idx,
 FROM r1 a FULL JOIN r2 b USING (conv_id, turn_idx)
 WHERE a.lsn IS NULL OR b.lsn IS NULL OR a.lsn <> b.lsn
 """
+
+
+SQL_LINEITEM_ABOVE_P95 = """
+WITH t AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+p AS (
+  SELECT v AS p95 FROM t ORDER BY v
+  LIMIT 1 OFFSET (SELECT GREATEST(1, CAST(ceil(0.95 * count(*)) AS BIGINT)) - 1 FROM t)
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_above,
+       round(round(sum(l_extendedprice) * 1e2) / 1e2, 2) AS sum_price
+FROM lineitem WHERE l_extendedprice > (SELECT p95 FROM p)
+GROUP BY l_returnflag
+"""
+
+
+def sql_cdc_incremental_agg(scale: str = DRIVER_SCALE) -> str:
+    """Full v2 per-conversation live-turn count from the changelog — what
+    the incrementally-maintained view must equal."""
+    return f"""
+WITH ev AS (
+  SELECT *, CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 ELSE 2 END AS op_rank
+  FROM read_parquet('{changelog_glob(scale)}')
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, op_rank DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
+SQL_EVENTS_HIVE_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type
+"""

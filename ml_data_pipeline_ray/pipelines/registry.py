@@ -58,6 +58,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": X.embeddings_kmeans,
         "neardup_components": X.neardup_components,
         "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
+        "lineitem_above_p95": Q.lineitem_above_p95,
+        "events_hive_roundtrip": Q.events_hive_roundtrip,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -66,6 +68,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_tail_incremental": C.cdc_tail_incremental,
         "cdc_time_travel": C.cdc_time_travel,
         "cdc_table_changes": C.cdc_table_changes,
+        "cdc_incremental_agg": C.cdc_incremental_agg,
         # cheap reader/stateful parity
         "csv_seek_supplier": P.csv_seek_supplier,
         "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
@@ -129,6 +132,7 @@ def build_oracle_sql() -> dict[str, str]:
         "cdc_tail_incremental": S.sql_cdc_replay(),
         "cdc_time_travel": S.sql_cdc_time_travel(),
         "cdc_table_changes": S.sql_cdc_table_changes(),
+        "cdc_incremental_agg": S.sql_cdc_incremental_agg(),
         "q1_pricing_summary": S.SQL_Q1,
         "q6_revenue": S.SQL_Q6,
         "q3_top_orders": S.SQL_Q3,
@@ -195,6 +199,8 @@ def build_oracle_sql() -> dict[str, str]:
         "embeddings_kmeans": S.sql_embeddings_kmeans(),
         "neardup_components": S.sql_neardup_components(),
         "docs_tfidf_top_terms": S.SQL_DOCS_TFIDF_TOP_TERMS,
+        "lineitem_above_p95": S.SQL_LINEITEM_ABOVE_P95,
+        "events_hive_roundtrip": S.SQL_EVENTS_HIVE_ROUNDTRIP,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

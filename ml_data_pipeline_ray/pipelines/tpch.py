@@ -729,3 +729,61 @@ def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
            .aggregate(Count(alias_name="n"),
                       Sum("value", alias_name="sum_value"))).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
+
+
+def lineitem_above_p95(sf_dir: str) -> pd.DataFrame:
+    """Quantile as a pipeline STAGE, not just an output: the global exact
+    P95 of ``l_extendedprice`` (distributed selection with a constant
+    group) becomes a filter threshold for a second pruned scan — the
+    percentile-based corpus-filtering shape (e.g. drop outlier documents).
+    The threshold is an actual stored double, so both engines filter on
+    the bit-identical value."""
+    from ..stages.quantiles import grouped_quantiles
+
+    ds = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_extendedprice"])
+    one = ds.map_batches(
+        lambda b: b.append_column("_g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    q = grouped_quantiles(one, key="_g", value="l_extendedprice", qs=[0.95])
+    p95 = float(q["p95"].iloc[0])
+    flt = read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_returnflag", "l_extendedprice"],
+                       filter=pc.field("l_extendedprice") > p95)
+    out = (flt.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n_above"),
+                      Sum("l_extendedprice", alias_name="sum_price"))
+           ).to_pandas()
+    return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})
+
+
+def events_hive_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Partitioned (hive-style) parquet sink → read-back: events written as
+    one directory per event_type (the resumable-output layout — a failed
+    run skips finished partitions), read back with partition-column
+    recovery and aggregated. Exercises `Dataset.write_parquet
+    (partition_cols=)` + partition-aware `read_parquet`."""
+    import tempfile
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
+    ds.write_parquet(out_dir, partition_cols=["event_type"])
+    back = read_parquet(out_dir)
+
+    def fix(b: pa.Table) -> pa.Table:
+        # partition columns come back as dictionary<string> — decode for
+        # the aggregate and the oracle's plain-string schema
+        et = b.column("event_type")
+        if pa.types.is_dictionary(et.type):
+            b = b.set_column(b.schema.get_field_index("event_type"),
+                             "event_type", et.cast(pa.string()))
+        return b
+
+    out = (back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"),
+                      Max("event_id", alias_name="max_event_id"))).to_pandas()
+    return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
