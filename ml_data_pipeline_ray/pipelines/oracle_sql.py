@@ -16,7 +16,8 @@ bytes).
 
 from __future__ import annotations
 
-from ..stages.text import CJK_RE, LANG_PROFILES, STOPWORDS_EN, stopword_regex
+from ..stages.text import (CJK_RE, LANG_PROFILES, STOPWORDS_EN, TOKEN_RE,
+                           stopword_regex)
 from .fixture_paths import changelog_glob, transcripts_glob
 from .text_queries import (COSINE_THRESHOLD, JACCARD_THRESHOLD,
                            SAMPLE_MAX_MINHASH, SAMPLE_MAX_NGRAM)
@@ -764,4 +765,49 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(round(sum(value) * 1e2) / 1e2, 2) AS sum_value,
        CAST(max(event_id) AS BIGINT) AS max_event_id
 FROM events GROUP BY event_type
+"""
+
+
+SQL_LINEITEM_BLOOM_JOIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(l_extendedprice) * 1e2) / 1e2, 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+def sql_docs_corpus_curation() -> str:
+    """The five curation stages as one CTE chain (same regexes, same
+    integer-arithmetic thresholds, same Knuth-hash mixture filter)."""
+    lang_counts = {lang: f"len(regexp_extract_all(text, '{stopword_regex(words)}'))"
+                   for lang, words in LANG_PROFILES.items()}
+    lang_counts["zh"] = f"len(regexp_extract_all(text, '{CJK_RE}'))"
+    return f"""
+WITH m AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(text, '{stopword_regex(STOPWORDS_EN)}')) AS n_stop,
+         {lang_counts['en']} AS c_en, {lang_counts['es']} AS c_es,
+         {lang_counts['de']} AS c_de, {lang_counts['fr']} AS c_fr,
+         {lang_counts['zh']} AS c_zh
+  FROM documents
+), q AS (
+  SELECT * FROM m WHERE n_tokens >= 10 AND 100 * n_stop >= 5 * n_tokens
+), l AS (
+  SELECT * FROM q
+  WHERE greatest(c_en, c_es, c_de, c_fr, c_zh) > 0
+    AND c_en >= greatest(c_es, c_de, c_fr, c_zh)
+), d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM l) WHERE rn = 1
+), s AS (
+  SELECT * FROM d
+  WHERE ((doc_id * 2654435761) % 4294967296) // 4194304
+        < LEAST(1024, 64 + 48 * CAST(substr(source, 4) AS BIGINT))
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY source
 """

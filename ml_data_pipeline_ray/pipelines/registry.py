@@ -6,7 +6,9 @@ identical column names. Entries without an oracle (approximate / hash-output
 operators) get the driver's weaker rows-only check by design:
 ``docs_fingerprint`` (64-bit rolling hashes), ``neardup_simhash`` (projection
 has no SQL form), ``ann_ivf`` (approximate; recall vs brute force asserted in
-tests instead).
+tests instead), ``events_approx_distinct`` (HyperLogLog — DuckDB's
+approx_count_distinct is a different HLL implementation; ±1.63% accuracy
+asserted vs exact counts in tests).
 """
 
 from __future__ import annotations
@@ -60,6 +62,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
         "lineitem_above_p95": Q.lineitem_above_p95,
         "events_hive_roundtrip": Q.events_hive_roundtrip,
+        "lineitem_bloom_join": Q.lineitem_bloom_join,
+        "events_approx_distinct": Q.events_approx_distinct,
+        "docs_corpus_curation": X.docs_corpus_curation,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -201,6 +206,8 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_tfidf_top_terms": S.SQL_DOCS_TFIDF_TOP_TERMS,
         "lineitem_above_p95": S.SQL_LINEITEM_ABOVE_P95,
         "events_hive_roundtrip": S.SQL_EVENTS_HIVE_ROUNDTRIP,
+        "lineitem_bloom_join": S.SQL_LINEITEM_BLOOM_JOIN,
+        "docs_corpus_curation": S.sql_docs_corpus_curation(),
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

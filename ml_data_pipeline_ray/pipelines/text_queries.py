@@ -347,3 +347,41 @@ def docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(TfIdfTopTerm(ref), batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """End-to-end LLM corpus curation as ONE streaming pipeline — the
+    composition a real user of this engine runs: quality filter (length +
+    stopword ratio, integer arithmetic so no float compares) → language-ID
+    keep-English → exact dedup on text (one narrow-hash shuffle) →
+    deterministic per-source mixture sampling → per-source stats. Only the
+    dedup shuffles; everything else is fused per-batch kernels under
+    backpressure. Oracle: the same five stages as one SQL CTE chain."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "lang", "n_chars", "text"])
+    m = ds.map_batches(T.add_quality_metrics, batch_format="pyarrow",
+                       zero_copy_batch=True)
+
+    def quality_keep(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tokens")
+        ns = b.column("n_stopwords")
+        keep = pc.and_(pc.greater_equal(nt, 10),
+                       pc.greater_equal(pc.multiply(ns, 100),
+                                        pc.multiply(nt, 5)))
+        return b.filter(keep)
+
+    m = m.map_batches(quality_keep, batch_format="pyarrow",
+                      zero_copy_batch=True)
+    m = m.map_batches(T.add_lang_pred, batch_format="pyarrow",
+                      zero_copy_batch=True)
+    m = m.map_batches(lambda b: b.filter(pc.equal(b.column("lang_pred"), "en")),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    d = exact_dedup(m, cols=["text"], order_col="doc_id")
+    s = mixture_sample(d, MIXTURE_RATES_1024)
+    out = (s.groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="total_tokens"))).to_pandas()
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

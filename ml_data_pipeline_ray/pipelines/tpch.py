@@ -787,3 +787,47 @@ def events_hive_roundtrip(sf_dir: str) -> pd.DataFrame:
                       Sum("value", alias_name="sum_value"),
                       Max("event_id", alias_name="max_event_id"))).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
+
+
+def lineitem_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned join (runtime-filter optimization): the urgent-orders
+    key set is summarized into a broadcast Bloom filter (map-side partial
+    bitmaps, ~1% FPR) and the lineitem scan drops non-member keys BEFORE
+    the exchange — at 100 TB the shuffle then moves only ~selectivity of
+    the fact table. Exact by construction (no false negatives): survivors
+    feed the normal bucketed hash join. Oracle: the plain SQL join."""
+    from ..stages.bloom import bloom_prefilter, build_bloom
+
+    urgent = read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey"],
+                          filter=pc.field("o_orderpriority") == "1-URGENT")
+    bloom = build_bloom(urgent, on=["o_orderkey"])
+    line = read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_returnflag",
+                                 "l_extendedprice"])
+    pre = bloom_prefilter(line, bloom, on=["l_orderkey"])
+    pre = pre.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_returnflag",
+                                    "l_extendedprice"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(pre, urgent, on=["o_orderkey"])
+    out = (joined.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n"),
+                      Sum("l_extendedprice", alias_name="sum_price"))
+           ).to_pandas()
+    return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})
+
+
+def events_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct counts (shuffle-free register
+    partials; see :mod:`..stages.sketches`). Rows-only driver check by
+    design — DuckDB's approx_count_distinct is a different HLL (different
+    hash ⇒ different estimate); the ±1.63%@p=12 accuracy bound is asserted
+    against exact counts in tests."""
+    from ..stages.sketches import approx_distinct
+
+    out = []
+    for col in ["user_id", "event_type", "props"]:
+        ds = read_parquet(_t(sf_dir, "events"), columns=[col])
+        out.append({"column": col, "approx_distinct": approx_distinct(ds, [col])})
+    return pd.DataFrame(out)

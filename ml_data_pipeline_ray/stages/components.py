@@ -40,15 +40,7 @@ from ray.data.aggregate import Max, Min, Sum
 from .joins import hash_join
 
 
-def _sever(ds: rd.Dataset) -> rd.Dataset:
-    """Execute ``ds`` and rebuild it from its materialized block refs with a
-    FRESH logical plan. ``materialize()`` keeps the full lazy plan attached
-    (for replay), so an iterative loop whose round reads the previous
-    round's output twice builds a plan DAG that doubles every round — and
-    plan walks (schema/size-estimate/optimizer) are tree-recursive, which
-    measured as ~1.7× wall growth PER ROUND even with rows and blocks
-    constant. Blocks never touch the driver (refs only)."""
-    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+from .transforms import sever as _sever
 
 
 def connected_components(edges: rd.Dataset, src: str = "id_a",

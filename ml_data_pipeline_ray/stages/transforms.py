@@ -220,3 +220,18 @@ def infer_schema(rows: list[list[str | None]], names: list[str],
         col = [r[i] if i < len(r) else None for r in sample]
         fields.append(pa.field(name, infer_column_type(col)))
     return pa.schema(fields)
+
+
+def sever(ds):
+    """Execute a Dataset and rebuild it from its materialized block refs
+    with a FRESH logical plan (blocks never touch the driver — refs only).
+
+    Use at iteration boundaries and before feeding a lazy shuffle output to
+    a multi-consumer operator (join, repeated schema probes):
+    ``materialize()`` keeps the full lazy plan attached, so (a) iterative
+    loops build a plan DAG that doubles per round and tree-recursive plan
+    walks make round r ~1.7× slower than round r-1 (measured in
+    ``components.py``), and (b) a schema fetch on a lazy shuffle plan
+    re-plans the pipeline under ``limit=1`` (~2× execution)."""
+    import ray.data as rd
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())

@@ -398,3 +398,46 @@ def test_connected_components_vs_union_find(ray_session):
     got = connected_components(edges).to_pandas()
     got_map = dict(zip(got["id"], got["comp"]))
     assert got_map == want
+
+
+def test_bloom_filter_superset_and_fpr(ray_session):
+    """Bloom pre-filter keeps EVERY true member (no false negatives) and
+    its false-positive rate is near the designed ~1%."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.bloom import bloom_prefilter, build_bloom
+
+    rng = np.random.default_rng(5)
+    build_keys = rng.choice(200_000, size=5_000, replace=False)
+    build = rd.from_arrow(pa.table({"k": build_keys})).repartition(6)
+    probe_keys = np.arange(60_000)
+    probe = rd.from_arrow(pa.table({"k": probe_keys})).repartition(6)
+
+    ref = build_bloom(build, on=["k"])
+    kept = bloom_prefilter(probe, ref, on=["k"]).to_pandas()["k"].to_numpy()
+
+    members = np.intersect1d(probe_keys, build_keys)
+    assert np.isin(members, kept).all()          # no false negatives
+    extras = np.setdiff1d(kept, members)
+    fpr = extras.size / (probe_keys.size - members.size)
+    assert fpr < 0.03, f"false-positive rate {fpr:.4f} too high"
+
+
+def test_hll_accuracy_and_partition_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.sketches import approx_distinct
+
+    rng = np.random.default_rng(2)
+    for true_n in (50, 3_000, 40_000):
+        vals = rng.integers(0, true_n, size=max(true_n * 3, 1000))
+        vals = np.concatenate([vals, np.arange(true_n)])  # ensure all present
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+        est = approx_distinct(ds, ["v"])
+        assert abs(est - true_n) / true_n < 0.06, (true_n, est)
+        # combine order / partitioning must not change the estimate
+        est2 = approx_distinct(
+            rd.from_arrow(pa.table({"v": vals[::-1]})).repartition(3), ["v"])
+        assert est == est2
