@@ -683,7 +683,8 @@ class CDCEngine:
             tbl = tbl.sort_by([(k, "ascending") for k in self.key])
         return tbl
 
-    def table_changes(self, v_from: int, v_to: int | None = None
+    def table_changes(self, v_from: int, v_to: int | None = None,
+                      payload_columns: list[str] | None = None
                       ) -> rd.Dataset:
         """The lake as a CDC **source**: the exact row-level diff between
         two committed versions — ``(key..., change ∈ insert/update/delete,
@@ -698,7 +699,12 @@ class CDCEngine:
         rewrites are still reported, exactly like the changelog semantics.
         Robust to compaction: a compacted ``v_to`` drops tombstones, but a
         key live at ``v_from`` and absent at ``v_to`` is still a delete via
-        the outer join."""
+        the outer join.
+
+        ``payload_columns`` prunes the new-side payload carried through the
+        diff (``[]`` = keys + change only): a consumer that only needs the
+        change kind (e.g. incremental count maintenance) should not ship
+        the wide text columns through the outer-join exchange."""
         from ..stages.joins import hash_join
 
         pf1 = self.manifest.partition_files(v_from)
@@ -717,6 +723,8 @@ class CDCEngine:
                                      sorted(pf2.values() or pf1.values()))
         payload = [n for n in base.names
                    if n not in (*self.key, LAKE_LSN_COL, LAKE_DELETED_COL)]
+        if payload_columns is not None:
+            payload = [c for c in payload if c in payload_columns]
 
         def _empty(cols: list[str]) -> rd.Dataset:
             names = [c if c in base.names else LAKE_LSN_COL for c in cols]

@@ -186,7 +186,7 @@ def cdc_incremental_agg(sf_dir: str) -> pa.Table:
             pa.scalar(0, pa.int64()))
         return pa.table({"conv_id": b.column("conv_id"), "d": d})
 
-    delta = (eng.table_changes(v_from=v1)
+    delta = (eng.table_changes(v_from=v1, payload_columns=[])
              .map_batches(delta_of, batch_format="pyarrow",
                           zero_copy_batch=True)
              .groupby("conv_id").aggregate(Sum("d", alias_name="d")))

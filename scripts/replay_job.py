@@ -39,6 +39,15 @@ def main() -> int:
                          " bounds merge state at 10^10-event scale")
     ap.add_argument("--exchange", choices=["direct", "raydata"],
                     default="direct", help="exchange implementation")
+    ap.add_argument("--diff-from", type=int, default=None, metavar="V",
+                    help="instead of replaying, emit the row diff of the "
+                         "existing lake from version V to --diff-to (lake "
+                         "as a CDC source: insert/update/delete counts + "
+                         "output parquet via --diff-out)")
+    ap.add_argument("--diff-to", type=int, default=None, metavar="V",
+                    help="target version for --diff-from (default: current)")
+    ap.add_argument("--diff-out", default=None,
+                    help="directory to write the diff rows as parquet")
     args = ap.parse_args()
 
     import ray
@@ -54,6 +63,30 @@ def main() -> int:
 
     eng = CDCEngine(args.lake, num_partitions=args.partitions,
                     exchange=args.exchange)
+
+    if args.diff_from is not None:
+        t0 = time.perf_counter()
+        ds = eng.table_changes(v_from=args.diff_from, v_to=args.diff_to)
+        if args.diff_out:
+            ds = ds.materialize()
+            ds.write_parquet(args.diff_out)
+        from ray.data.aggregate import Count
+        counts = {r["change"]: r["n"] for r in
+                  ds.groupby("change").aggregate(
+                      Count(alias_name="n")).take_all()}
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "table_changes_wall_sec", "value": round(wall, 3),
+            "unit": "sec", "from_version": args.diff_from,
+            "to_version": args.diff_to or eng.manifest.current_version(),
+            "inserts": counts.get("insert", 0),
+            "updates": counts.get("update", 0),
+            "deletes": counts.get("delete", 0),
+            "out": args.diff_out,
+        }))
+        ray.shutdown()
+        return 0
+
     t0 = time.perf_counter()
     if args.rounds > 1:
         rounds = eng.replay_in_rounds(args.changelog, num_rounds=args.rounds)
