@@ -57,7 +57,7 @@ QUERY_SUITE = [
     "embeddings_kmeans", "neardup_components", "docs_tfidf_top_terms",
     "cdc_table_changes", "cdc_incremental_agg", "lineitem_above_p95",
     "events_hive_roundtrip", "lineitem_bloom_join", "events_approx_distinct",
-    "docs_corpus_curation",
+    "docs_corpus_curation", "events_user_cumsum", "events_session_stats",
 ]
 
 

@@ -65,6 +65,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_join": Q.lineitem_bloom_join,
         "events_approx_distinct": Q.events_approx_distinct,
         "docs_corpus_curation": X.docs_corpus_curation,
+        "events_user_cumsum": Q.events_user_cumsum,
+        "events_session_stats": Q.events_session_stats,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -208,6 +210,8 @@ def build_oracle_sql() -> dict[str, str]:
         "events_hive_roundtrip": S.SQL_EVENTS_HIVE_ROUNDTRIP,
         "lineitem_bloom_join": S.SQL_LINEITEM_BLOOM_JOIN,
         "docs_corpus_curation": S.sql_docs_corpus_curation(),
+        "events_user_cumsum": S.SQL_EVENTS_USER_CUMSUM,
+        "events_session_stats": S.SQL_EVENTS_SESSION_STATS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

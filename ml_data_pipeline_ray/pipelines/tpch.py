@@ -831,3 +831,97 @@ def events_approx_distinct(sf_dir: str) -> pd.DataFrame:
         ds = read_parquet(_t(sf_dir, "events"), columns=[col])
         out.append({"column": col, "approx_distinct": approx_distinct(ds, [col])})
     return pd.DataFrame(out)
+
+
+def events_user_cumsum(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total (SUM OVER ROWS UNBOUNDED PRECEDING): the
+    2-decimal values become integer cents, so the cumulative sum is exact
+    int64 in any engine. Same shape as the other keyed window kernels —
+    ONE bytes-aware shard shuffle, one vectorized pass per shard."""
+    from ..stages.joins import _hash_cols, _keyed_shards
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts", "value"])
+    num_shards = _keyed_shards(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        shard = (_hash_cols(batch, ["user_id"]) % num_shards).astype(np.int32)
+        return batch.append_column("_shard", pa.array(shard))
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                            ("cum_cents", pa.int64())])
+
+    def kern(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy(dtype=np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        n = len(g)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        cum = np.cumsum(cents)
+        starts = np.flatnonzero(first)
+        base = np.repeat(cum[starts] - cents[starts],
+                         np.diff(np.append(starts, n)))
+        return pa.table({"user_id": pa.array(u),
+                         "event_id": pa.array(g["event_id"].to_numpy()),
+                         "cum_cents": pa.array(cum - base)},
+                        schema=out_schema)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("_shard").map_groups(kern, batch_format="pandas"))
+    return _collect_arrow(out).select(["user_id", "event_id", "cum_cents"])
+
+
+def events_session_stats(sf_dir: str) -> pd.DataFrame:
+    """Sessionization with per-session aggregates (beyond the existing
+    session COUNT query): session id = running count of >30-min gaps per
+    user, then per-(user, session) event count and exact int64-microsecond
+    duration. One shard shuffle; sessions never span shards (sharded by
+    user)."""
+    from ..stages.joins import _hash_cols, _keyed_shards
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_id", "ts"])
+    num_shards = _keyed_shards(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        shard = (_hash_cols(batch, ["user_id"]) % num_shards).astype(np.int32)
+        return batch.append_column("_shard", pa.array(shard))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("session_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("dur_us", pa.int64())])
+    gap_us = 30 * 60 * 1_000_000
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_s = first | (gap > gap_us)
+        cum = np.cumsum(new_s.astype(np.int64))
+        starts = np.flatnonzero(first)
+        base = np.repeat(cum[starts] - 1, np.diff(np.append(starts, n)))
+        sid = cum - base
+        df = pd.DataFrame({"user_id": u, "session_id": sid, "ts_us": ts})
+        agg = (df.groupby(["user_id", "session_id"], sort=False)
+               .agg(n_events=("ts_us", "size"), lo=("ts_us", "min"),
+                    hi=("ts_us", "max")).reset_index())
+        agg["dur_us"] = agg["hi"] - agg["lo"]
+        return agg[["user_id", "session_id", "n_events", "dur_us"]].astype(
+            {"user_id": np.int64, "session_id": np.int64,
+             "n_events": np.int64, "dur_us": np.int64})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("_shard").map_groups(kern, batch_format="pandas"))
+    return _collect_arrow(out).select(
+        ["user_id", "session_id", "n_events", "dur_us"])
