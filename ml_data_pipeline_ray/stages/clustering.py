@@ -117,13 +117,16 @@ def kmeans_fit(ds: rd.Dataset, k: int, n_iter: int,
     assignment passes: snapped (k, d) centroids from the LAST update, plus
     the final-assignment per-cluster sizes and id sums (integer witnesses).
     """
+    from .topk import topk
+
     qds = ds.map_batches(quantize_batch, batch_format="pyarrow",
                          zero_copy_batch=True,
                          fn_kwargs={"emb_col": emb_col}).materialize()
-    seed_tbl = qds.sort(id_col).limit(k).to_arrow_refs()
-    seed = pa.concat_tables([t for t in ray.get(seed_tbl) if t.num_rows],
-                            promote_options="permissive")
-    cent = _to_matrix(seed.column(emb_col))[:k]
+    # init = the k smallest ids via the map-side-pruned top-k (k rows per
+    # block leave the scan) — a Dataset.sort here would range-shuffle the
+    # whole input for k rows
+    seed = topk(qds, by=[id_col], k=k, descending=False)
+    cent = np.vstack(seed[emb_col].to_numpy()).astype(np.float64)[:k]
     d = cent.shape[1]
     counts = id_sums = None
     for _ in range(n_iter):
