@@ -132,3 +132,45 @@ def test_table_changes_diff_and_converged_empty(small_fixture, tmp_path):
     v2 = eng.manifest.current_version()
     eng.replay(files)
     assert eng.table_changes(v_from=v2).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_changes_after_compaction_empty_and_pruned(small_fixture, tmp_path):
+    """Compaction rewrites ONLY tombstoned partitions; the diff across the
+    compaction commit must be empty (live rows keep their winning LSN) and
+    the manifest-level pruning must have real effect (untouched partitions
+    keep identical file entries)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.replay(small_fixture["changelog"])
+    v1 = eng.manifest.current_version()
+    res = eng.compact()
+    assert res["committed"]
+    pf1 = eng.manifest.partition_files(v1)
+    pf2 = eng.manifest.partition_files()
+    changed = [p for p in set(pf1) | set(pf2) if pf1.get(p) != pf2.get(p)]
+    assert 0 < len(changed) <= res["partitions_compacted"]
+    assert eng.table_changes(v_from=v1).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_changes_across_schema_evolution(tmp_path_factory, tmp_path):
+    """Diff across an evolving commit: the first transaction is pure v1
+    schema (no ``model``), the second brings the evolved files — the diff
+    must surface the unified schema (``model`` present, null where the
+    winning row predates the evolution) without error."""
+    from ml_data_pipeline_ray.cdc.replay import _lsn_bounds
+    from ml_data_pipeline_ray.fixtures import write_fixture_set
+
+    paths = write_fixture_set(str(tmp_path_factory.mktemp("ev_diff")),
+                              scale="tiny", seed=42, n_files=8, evolve=True)
+    files = sorted(glob.glob(paths["changelog"] + "/*.parquet"))
+    lo, hi = _lsn_bounds(files, "lsn")
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.replay(files, lsn_max=(lo + hi) // 2)   # pre-cutover: v1 schema
+    v1 = eng.manifest.current_version()
+    eng.replay(files, lsn_min=(lo + hi) // 2)   # brings the evolved schema
+    diff = eng.table_changes(v_from=v1).to_pandas()
+    assert len(diff) > 0
+    assert "model" in diff.columns
+    ins = diff[diff["change"] == "insert"]
+    assert ins["model"].notna().any()           # evolved rows carry model
