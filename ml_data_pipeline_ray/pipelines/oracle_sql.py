@@ -841,3 +841,17 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us
 FROM s GROUP BY user_id, sid
 """
+
+
+SQL_DOCS_SLIDING_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS s FROM d
+)
+SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_idx,
+       CAST(LEAST(64, len(toks) - s) AS BIGINT) AS n_tokens_chunk,
+       array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+FROM c
+"""

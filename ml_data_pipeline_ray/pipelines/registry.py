@@ -67,6 +67,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_curation": X.docs_corpus_curation,
         "events_user_cumsum": Q.events_user_cumsum,
         "events_session_stats": Q.events_session_stats,
+        "docs_sliding_chunks": X.docs_sliding_chunks,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -212,6 +213,7 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_corpus_curation": S.sql_docs_corpus_curation(),
         "events_user_cumsum": S.SQL_EVENTS_USER_CUMSUM,
         "events_session_stats": S.SQL_EVENTS_SESSION_STATS,
+        "docs_sliding_chunks": S.SQL_DOCS_SLIDING_CHUNKS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -385,3 +385,16 @@ def docs_corpus_curation(sf_dir: str) -> pd.DataFrame:
                       Sum("n_tokens", alias_name="total_tokens"))).to_pandas()
     out["total_tokens"] = out["total_tokens"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def docs_sliding_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping token-window chunking (RAG ingestion shape): 64-token
+    windows every 32 tokens with the chunk text carried through — a
+    shuffle-free vectorized flat_map (`stages/reshape.py::sliding_chunks`).
+    Oracle: generate_series starts + 1-based inclusive list slices."""
+    from ..stages.reshape import sliding_chunks
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(sliding_chunks, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.to_pandas()

@@ -100,3 +100,46 @@ def explode_tokens(batch: pa.Table, id_col: str = "doc_id",
     ids = batch.column(id_col).take(parent)
     return pa.table({id_col: ids, "pos": pa.array(pos, pa.int64()),
                      out_col: flat})
+
+
+def sliding_chunks(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text", size: int = 64,
+                   stride: int = 32) -> pa.Table:
+    """RAG-style overlapping token chunking: one output row per
+    ``stride``-stepped window of up to ``size`` tokens, carrying the joined
+    chunk text. Shuffle-free flat_map; fully vectorized — chunk token
+    indices are ONE arange/gather over the batch's flattened token buffer,
+    the join back to text is Arrow's ``binary_join``. Token rule is
+    ``[A-Za-z0-9]+`` runs (case preserved), mirrored by the oracle's
+    ``regexp_extract_all``; a document yields ``ceil(n_tokens/stride)``
+    chunks (empty docs yield none)."""
+    lists = pc.split_pattern_regex(batch.column(text_col), "[^A-Za-z0-9]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat, parent = flat.filter(mask), parent.filter(mask)
+    p = parent.to_numpy(zero_copy_only=False)
+    n_rows = batch.num_rows
+    counts = np.bincount(p, minlength=n_rows).astype(np.int64)
+    row_off = np.concatenate([[0], np.cumsum(counts)])
+    n_chunks = -(-counts // stride)                     # ceil; 0 for empty
+    total = int(n_chunks.sum())
+    row_of_chunk = np.repeat(np.arange(n_rows), n_chunks)
+    first = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(first, n_chunks)
+    starts = cidx * stride
+    lens = np.minimum(size, counts[row_of_chunk] - starts)
+    chunk_off = np.concatenate([[0], np.cumsum(lens)])
+    base = row_off[row_of_chunk] + starts
+    idx = (np.arange(int(chunk_off[-1]), dtype=np.int64)
+           - np.repeat(chunk_off[:-1], lens) + np.repeat(base, lens))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_off, pa.int32()), flat.take(pa.array(idx)))
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(row_of_chunk)),
+        "chunk_idx": pa.array(cidx),
+        "n_tokens_chunk": pa.array(lens.astype(np.int64)),
+        "chunk_text": pc.binary_join(chunk_list, " "),
+    })
