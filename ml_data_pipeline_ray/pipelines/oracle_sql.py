@@ -855,3 +855,10 @@ SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_idx,
        array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
 FROM c
 """
+
+
+SQL_DOCS_SAMPLE_K = """
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+LIMIT 100
+"""

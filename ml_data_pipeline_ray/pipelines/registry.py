@@ -68,6 +68,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cumsum": Q.events_user_cumsum,
         "events_session_stats": Q.events_session_stats,
         "docs_sliding_chunks": X.docs_sliding_chunks,
+        "docs_sample_k": X.docs_sample_k,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -214,6 +215,7 @@ def build_oracle_sql() -> dict[str, str]:
         "events_user_cumsum": S.SQL_EVENTS_USER_CUMSUM,
         "events_session_stats": S.SQL_EVENTS_SESSION_STATS,
         "docs_sliding_chunks": S.SQL_DOCS_SLIDING_CHUNKS,
+        "docs_sample_k": S.SQL_DOCS_SAMPLE_K,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

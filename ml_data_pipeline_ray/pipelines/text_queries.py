@@ -398,3 +398,14 @@ def docs_sliding_chunks(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(sliding_chunks, batch_format="pyarrow",
                          zero_copy_batch=True)
     return out.to_pandas()
+
+
+def docs_sample_k(sf_dir: str) -> pd.DataFrame:
+    """Fixed-size deterministic uniform sample (k=100 docs): smallest-k
+    Knuth-hash pick via the map-side-pruned top-k — no RNG state, identical
+    result at any parallelism. Oracle: ORDER BY the same hash arithmetic."""
+    from ..stages.sampling import sample_k_deterministic
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "n_chars"])
+    return sample_k_deterministic(ds, k=100)

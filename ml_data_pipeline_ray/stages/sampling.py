@@ -62,3 +62,27 @@ def mixture_sample(ds: rd.Dataset, rates_1024: dict[str, int],
         return batch.filter(pa.array(bucket < rate))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_k_deterministic(ds: rd.Dataset, k: int, id_col: str = "doc_id"
+                           ) -> "pd.DataFrame":
+    """Fixed-SIZE uniform sample without replacement: the k rows with the
+    smallest Knuth-multiplicative hash of their id — deterministic (no RNG
+    state, reproducible across cluster sizes and reruns) and exactly
+    SQL-mirrorable (ORDER BY the same hash arithmetic LIMIT k). Distributed
+    as a map-side-pruned top-k: at most k rows per block leave the scan.
+    Ties broken by id (hash collisions are possible at 2^32)."""
+    import pandas as pd  # noqa: F401  (return type)
+    import pyarrow as pa
+
+    from .topk import topk
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.int64) * KNUTH) % _MOD
+        return batch.append_column("_h", pa.array(h.astype(np.int64)))
+
+    tagged = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk(tagged, by=["_h", id_col], k=k, descending=False)
+    return out.drop(columns=["_h"]).reset_index(drop=True)
