@@ -174,3 +174,40 @@ def test_table_changes_across_schema_evolution(tmp_path_factory, tmp_path):
     assert "model" in diff.columns
     ins = diff[diff["change"] == "insert"]
     assert ins["model"].notna().any()           # evolved rows carry model
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_view_across_tail_polls(small_fixture, tmp_path):
+    """The CDC-source composition a real consumer runs: a per-conversation
+    turn-count view maintained ONLY from `table_changes` diffs across three
+    tail polls, checked against a full recompute of the snapshot at every
+    committed version."""
+    import numpy as np
+
+    from ml_data_pipeline_ray.cdc.replay import _lsn_bounds
+
+    files = sorted(glob.glob(small_fixture["changelog"] + "/*.parquet"))
+    lo, hi = _lsn_bounds(files, "lsn")
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+
+    view: dict = {}
+    prev_v = None
+    lsn_min = None
+    for cut in cuts:
+        eng.replay(files, lsn_min=lsn_min, lsn_max=cut)
+        v = eng.manifest.current_version()
+        if prev_v is None:
+            snap = eng.final_table(version=v).to_pandas()
+            view = snap.groupby("conv_id").size().to_dict()
+        else:
+            diff = eng.table_changes(v_from=prev_v, v_to=v,
+                                     payload_columns=[]).to_pandas()
+            for conv, ch in zip(diff["conv_id"], diff["change"]):
+                view[conv] = view.get(conv, 0) + (1 if ch == "insert" else
+                                                  -1 if ch == "delete" else 0)
+            view = {c: n for c, n in view.items() if n > 0}
+        want = (eng.final_table(version=v).to_pandas()
+                .groupby("conv_id").size().to_dict())
+        assert view == want, f"view diverged at version {v}"
+        prev_v, lsn_min = v, cut
