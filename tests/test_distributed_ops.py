@@ -441,3 +441,26 @@ def test_hll_accuracy_and_partition_invariance(ray_session):
         est2 = approx_distinct(
             rd.from_arrow(pa.table({"v": vals[::-1]})).repartition(3), ["v"])
         assert est == est2
+
+
+def test_broadcast_and_hash_join_suffix_collision_equivalent(ray_session):
+    """Both join arms must produce the IDENTICAL schema when the two sides
+    share a non-key column name (auto '_r' suffix) — auto_join's choice of
+    arm must be invisible to the caller."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.joins import broadcast_join, hash_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 100),
+                         "v": rng.integers(0, 5, 100)})
+    right = pd.DataFrame({"k": np.arange(30), "v": np.arange(30) * 10})
+
+    got_b = (broadcast_join(rd.from_pandas(left), right, on=["k"])
+             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    got_h = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"])
+             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert list(got_b.columns) == list(got_h.columns) == ["k", "v", "v_r"]
+    pd.testing.assert_frame_equal(
+        got_b[["k", "v", "v_r"]], got_h[["k", "v", "v_r"]])
