@@ -58,7 +58,7 @@ QUERY_SUITE = [
     "cdc_table_changes", "cdc_incremental_agg", "lineitem_above_p95",
     "events_hive_roundtrip", "lineitem_bloom_join", "events_approx_distinct",
     "docs_corpus_curation", "events_user_cumsum", "events_session_stats",
-    "docs_sliding_chunks", "docs_sample_k",
+    "docs_sliding_chunks", "docs_sample_k", "orders_customer_salted",
 ]
 
 

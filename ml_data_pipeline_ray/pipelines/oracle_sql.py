@@ -862,3 +862,11 @@ SELECT doc_id, source, n_chars FROM documents
 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
 LIMIT 100
 """
+
+
+SQL_ORDERS_CUSTOMER_SALTED = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(round(sum(o_totalprice) * 1e2) / 1e2, 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""

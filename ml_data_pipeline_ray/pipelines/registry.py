@@ -69,6 +69,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": Q.events_session_stats,
         "docs_sliding_chunks": X.docs_sliding_chunks,
         "docs_sample_k": X.docs_sample_k,
+        "orders_customer_salted": Q.orders_customer_salted,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -216,6 +217,7 @@ def build_oracle_sql() -> dict[str, str]:
         "events_session_stats": S.SQL_EVENTS_SESSION_STATS,
         "docs_sliding_chunks": S.SQL_DOCS_SLIDING_CHUNKS,
         "docs_sample_k": S.SQL_DOCS_SAMPLE_K,
+        "orders_customer_salted": S.SQL_ORDERS_CUSTOMER_SALTED,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

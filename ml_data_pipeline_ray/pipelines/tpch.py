@@ -930,3 +930,27 @@ def events_session_stats(sf_dir: str) -> pd.DataFrame:
            .groupby("_shard").map_groups(kern, batch_format="pandas"))
     return _collect_arrow(out).select(
         ["user_id", "session_id", "n_events", "dur_us"])
+
+
+def orders_customer_salted(sf_dir: str) -> pd.DataFrame:
+    """Skew-safe salted hash join (hot keys fan out over `salts` buckets —
+    a plain hash cannot split equal keys, so one 100-TB hot key lands in
+    one task otherwise): orders × customer through
+    ``salted_hash_join(salts=8)``, then a per-segment aggregate. Equality
+    semantics identical to the plain join (the oracle is the plain SQL
+    join; a pytest checks row-level equality under manufactured 90%-one-key
+    skew)."""
+    from ..stages.joins import salted_hash_join
+
+    orders = read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"])
+    joined = salted_hash_join(orders, cust, on=["c_custkey"], salts=8)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="sum_price"))
+           ).to_pandas()
+    return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})

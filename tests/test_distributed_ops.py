@@ -464,3 +464,25 @@ def test_broadcast_and_hash_join_suffix_collision_equivalent(ray_session):
     assert list(got_b.columns) == list(got_h.columns) == ["k", "v", "v_r"]
     pd.testing.assert_frame_equal(
         got_b[["k", "v", "v_r"]], got_h[["k", "v", "v_r"]])
+
+
+def test_salted_join_equals_plain_join_under_skew(ray_session):
+    """90% of the left side shares ONE key — the salted join must return
+    exactly the plain join's rows (salting changes partitioning only)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(4)
+    k = np.where(rng.random(2000) < 0.9, 7, rng.integers(0, 50, 2000))
+    left = pd.DataFrame({"k": k, "v": np.arange(2000)})
+    right = pd.DataFrame({"k": np.arange(50), "w": np.arange(50) * 3})
+
+    plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"])
+             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    salted = (salted_hash_join(rd.from_pandas(left).repartition(6),
+                               rd.from_pandas(right), on=["k"], salts=4)
+              .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain[["k", "v", "w"]],
+                                  salted[["k", "v", "w"]])
