@@ -646,7 +646,7 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     round-robin — any assignment is correct, each left row joins
     independently) and the RIGHT side is replicated once per salt value, so
     the bucket key becomes ``(key..., salt)`` and a hot key fans out over
-    ``salts`` tasks. Cost: right side ships ``salts`` ×  — use for
+    ``salts`` tasks. Cost: the right side ships ``salts`` times — use for
     fact × dimension shapes with known key skew; equality semantics are
     unchanged (verified against the unsalted join in tests)."""
 
