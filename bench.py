@@ -59,6 +59,7 @@ QUERY_SUITE = [
     "events_hive_roundtrip", "lineitem_bloom_join", "events_approx_distinct",
     "docs_corpus_curation", "events_user_cumsum", "events_session_stats",
     "docs_sliding_chunks", "docs_sample_k", "orders_customer_salted",
+    "embeddings_label_centroids",
 ]
 
 

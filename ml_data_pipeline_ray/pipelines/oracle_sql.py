@@ -870,3 +870,16 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+SQL_EMBEDDINGS_LABEL_CENTROIDS = """
+WITH q AS (
+  SELECT label, list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1024 + 0.5)) AS e
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(sum(e[1]) / count(*) * 8 + 0.5) AS BIGINT) AS c0_x8,
+       CAST(floor(sum(e[64]) / count(*) * 8 + 0.5) AS BIGINT) AS c63_x8
+FROM q GROUP BY label
+"""

@@ -70,6 +70,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "docs_sliding_chunks": X.docs_sliding_chunks,
         "docs_sample_k": X.docs_sample_k,
         "orders_customer_salted": Q.orders_customer_salted,
+        "embeddings_label_centroids": X.embeddings_label_centroids,
         # rest of the CDC family (shares cached fixtures with cdc_replay)
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -218,6 +219,7 @@ def build_oracle_sql() -> dict[str, str]:
         "docs_sliding_chunks": S.SQL_DOCS_SLIDING_CHUNKS,
         "docs_sample_k": S.SQL_DOCS_SAMPLE_K,
         "orders_customer_salted": S.SQL_ORDERS_CUSTOMER_SALTED,
+        "embeddings_label_centroids": S.SQL_EMBEDDINGS_LABEL_CENTROIDS,
         # rows-only (documented in build_queries docstring):
         # docs_fingerprint, neardup_simhash, ann_ivf
     }

@@ -409,3 +409,21 @@ def docs_sample_k(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"),
                       columns=["doc_id", "source", "n_chars"])
     return sample_k_deterministic(ds, k=100)
+
+
+def embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Supervised class prototypes (the labeled sibling of k-means): per
+    label, count + snapped mean embedding under the bit-exact determinism
+    contract; shuffle bytes ~ labels × blocks (map-side integer partial
+    sums). Witnesses: first and last centroid components ×8 (exact ints)."""
+    from ..stages.clustering import label_centroids
+
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["label", "embedding"])
+    labels, counts, cent = label_centroids(ds)
+    return pd.DataFrame({
+        "label": np.asarray(labels, dtype=np.int64),
+        "n": counts,
+        "c0_x8": (cent[:, 0] * 8).astype(np.int64),
+        "c63_x8": (cent[:, -1] * 8).astype(np.int64),
+    })

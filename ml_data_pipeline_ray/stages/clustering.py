@@ -143,3 +143,63 @@ def kmeans_fit(ds: rd.Dataset, k: int, n_iter: int,
         cent[nz] = np.floor(sums[nz] / counts[nz, None] * MEAN_GRID + 0.5) \
             / MEAN_GRID
     return cent, counts, id_sums
+
+
+class _LabelPartials:
+    """Map-side combine for supervised (per-label) centroids: one row per
+    label per batch with count + integer vector sum — same exactness
+    contract as the Lloyd partials, but the assignment IS a label column."""
+
+    def __init__(self, label_col: str, emb_col: str):
+        self.label_col, self.emb_col = label_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch.column(self.emb_col))
+        labels = batch.column(self.label_col)
+        import pyarrow.compute as pc
+        uniq = pc.unique(labels.combine_chunks()
+                         if isinstance(labels, pa.ChunkedArray) else labels)
+        code = pc.index_in(labels, uniq).to_numpy(zero_copy_only=False)
+        k = len(uniq)
+        counts = np.bincount(code, minlength=k)
+        sums = np.zeros((k, x.shape[1]))
+        np.add.at(sums, code, x)
+        return pa.table({
+            "label": uniq,
+            "n": pa.array(counts.astype(np.int64)),
+            "vec_sum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1), pa.float64()),
+                x.shape[1]).cast(pa.list_(pa.float64())),
+        })
+
+
+def label_centroids(ds: rd.Dataset, label_col: str = "label",
+                    emb_col: str = "embedding"):
+    """Per-label snapped mean embedding (class prototypes — the supervised
+    sibling of k-means): quantized inputs → per-batch per-label integer
+    partial sums (shuffle bytes ~ labels × blocks) → ONE tiny groupby →
+    1/8-grid snapped means, bit-identical to the SQL mirror by the module's
+    determinism contract. Returns a DataFrame (label, n, centroid (k,d))."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    qds = ds.map_batches(quantize_batch, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         fn_kwargs={"emb_col": emb_col})
+    parts = qds.map_batches(_LabelPartials(label_col, emb_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(parts.materialize().to_arrow_refs())
+         if t.num_rows], promote_options="permissive")
+    df = pd.DataFrame({"label": tbl.column("label").to_pandas(),
+                       "n": tbl.column("n").to_pandas()})
+    vs = _to_matrix(tbl.column("vec_sum"))
+    agg = df.groupby("label", sort=True)
+    labels = list(agg.groups)
+    counts = agg["n"].sum().to_numpy()
+    d = vs.shape[1]
+    sums = np.zeros((len(labels), d))
+    lab_idx = {v: i for i, v in enumerate(labels)}
+    np.add.at(sums, df["label"].map(lab_idx).to_numpy(), vs)
+    cent = np.floor(sums / counts[:, None] * MEAN_GRID + 0.5) / MEAN_GRID
+    return labels, counts.astype(np.int64), cent
