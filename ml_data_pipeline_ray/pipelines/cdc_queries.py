@@ -191,12 +191,13 @@ def cdc_incremental_agg(sf_dir: str) -> pa.Table:
                           zero_copy_batch=True)
              .groupby("conv_id").aggregate(Sum("d", alias_name="d")))
 
-    # sever both (tiny) aggregate outputs before the join: hash_join's
-    # schema probe on a LAZY shuffle plan re-plans it under limit=1 and the
-    # two-sided union re-executes each side again (~5x wall measured here)
-    from ..stages.transforms import sever as _sever
-    joined = hash_join(_sever(base), _sever(delta), on=["conv_id"],
-                       how="outer")
+    # materialize both (tiny) aggregate outputs before the join:
+    # hash_join's schema probe on a LAZY shuffle plan re-plans it under
+    # limit=1 and the two-sided union re-executes each side again (~5x
+    # wall measured here); a materialized dataset answers schema() from
+    # block metadata
+    joined = hash_join(base.materialize(), delta.materialize(),
+                       on=["conv_id"], how="outer")
 
     def finish(b: pa.Table) -> pa.Table:
         n = _pc.add(_pc.fill_null(b.column("n_v1"), 0),

@@ -797,14 +797,13 @@ def lineitem_bloom_join(sf_dir: str) -> pd.DataFrame:
     the fact table. Exact by construction (no false negatives): survivors
     feed the normal bucketed hash join. Oracle: the plain SQL join."""
     from ..stages.bloom import bloom_prefilter, build_bloom
-    from ..stages.transforms import sever
 
-    # sever the (small) filtered build side once: the bloom build, its key
-    # count, and the join's right side all reuse the same in-object-store
-    # blocks instead of re-scanning orders three times
-    urgent = sever(read_parquet(
+    # materialize the (small) filtered build side once: the bloom build,
+    # its key count, and the join's right side all reuse the same
+    # in-object-store blocks instead of re-scanning orders three times
+    urgent = read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey"],
-        filter=pc.field("o_orderpriority") == "1-URGENT"))
+        filter=pc.field("o_orderpriority") == "1-URGENT").materialize()
     bloom = build_bloom(urgent, on=["o_orderkey"],
                         n_keys_hint=urgent.count())
     line = read_parquet(_t(sf_dir, "lineitem"),

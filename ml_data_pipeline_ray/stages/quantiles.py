@@ -80,12 +80,12 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
     def drop_null(b: pa.Table) -> pa.Table:
         return b.select(cols).drop_null()
 
-    # sever once: three passes follow (moments, histogram, pick) — over a
-    # lazy read each pass would re-scan parquet; over severed blocks they
-    # run in-object-store (narrow 2-column rows, Ray spills if huge)
-    from .transforms import sever
-    clean = sever(ds.map_batches(drop_null, batch_format="pyarrow",
-                                 zero_copy_batch=True))
+    # materialize once: three passes follow (moments, histogram, pick) —
+    # over a lazy read each pass would re-scan parquet; over materialized
+    # blocks they run in-object-store (narrow 2-column rows, Ray spills if
+    # huge) and schema() answers from block metadata
+    clean = ds.map_batches(drop_null, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
 
     # -- pass 1: per-group moments (streaming aggregate; result is tiny) ----
     mom = (clean.groupby(key)

@@ -226,12 +226,18 @@ def sever(ds):
     """Execute a Dataset and rebuild it from its materialized block refs
     with a FRESH logical plan (blocks never touch the driver — refs only).
 
-    Use at iteration boundaries and before feeding a lazy shuffle output to
-    a multi-consumer operator (join, repeated schema probes):
-    ``materialize()`` keeps the full lazy plan attached, so (a) iterative
-    loops build a plan DAG that doubles per round and tree-recursive plan
-    walks make round r ~1.7× slower than round r-1 (measured in
-    ``components.py``), and (b) a schema fetch on a lazy shuffle plan
-    re-plans the pipeline under ``limit=1`` (~2× execution)."""
+    Use at ITERATION boundaries only: ``materialize()`` keeps the full lazy
+    plan attached, so iterative loops build a plan DAG that doubles per
+    round and tree-recursive plan walks make round r ~1.7× slower than
+    round r-1 (measured in ``components.py``). For single-level multi-pass
+    or schema-probe cases prefer plain ``materialize()`` — it already
+    answers ``schema()`` from block metadata, and severed datasets
+    correlate with a Ray-core task-bookkeeping crash on long sessions
+    (task_manager.cc:930; the keepalive below pins the source
+    MaterializedDataset so its executor cleanup cannot race block refs
+    still in use)."""
     import ray.data as rd
-    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+    mat = ds.materialize()
+    out = rd.from_arrow_refs(mat.to_arrow_refs())
+    out._mdpr_keepalive = mat
+    return out
