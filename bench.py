@@ -151,6 +151,10 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
 
     per_query: dict[str, float] = {}
     if include_queries and only:
+        # untimed session warmup: worker startup + code shipping otherwise
+        # land on the chunk's first query (best-of-2 absorbs most of it, but
+        # a warm pool keeps the first query's two runs comparable)
+        rd.range(10_000).map_batches(lambda b: b).count()
         queries = build_queries()
         for name in suite:                # best of 2 (same noise argument)
             best = None

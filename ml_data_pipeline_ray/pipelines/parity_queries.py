@@ -251,7 +251,11 @@ def jsonl_roundtrip_events(sf_dir: str) -> pd.DataFrame:
         os.unlink(old)
     ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type"])
-    ds.write_json(d)
+    # bound the part-file count: at 32 cpus an unbounded write fans into
+    # hundreds of tiny JSON files whose per-file re-parse overhead dominated
+    # the r03 driver wall (10.3 s vs 1.8 s in r02) — 8 bounded parts keep
+    # file-parallelism without the per-file tax
+    ds.repartition(8).write_json(d)
     back = read_json_typed(sorted(_glob.glob(os.path.join(d, "*.json"))))
     out = (back.groupby("event_type")
            .aggregate(Count(alias_name="n"),
@@ -280,25 +284,24 @@ def timeseries_fill_hourly(sf_dir: str) -> pd.DataFrame:
     ``generate_series`` + ``last_value IGNORE NULLS``."""
     ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
+    # ONE exchange end-to-end (r03 shape was aggregate-shuffle + fill-shuffle
+    # = two): the hour bucketing fuses into the fill's tag pass as `pre`, the
+    # hourly sum runs map-side partial (`combine="sum"`) + per-bucket final,
+    # and the decimal stabilization runs on COMPLETED sums via post_combine
+    # so forward-filled copies carry the exact decimal the oracle computes
     def hour(b: pa.Table) -> pa.Table:
         return pa.table({"user_id": b["user_id"],
                          "hour": pc.floor_temporal(b["ts"], unit="hour"),
-                         "value": b["value"]})
+                         "sv": b["value"]})
 
-    agg = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["user_id", "hour"])
-           .aggregate(Sum("value", alias_name="sv")))
+    def stab_sv(g: pd.DataFrame) -> pd.DataFrame:
+        g["sv"] = np.round(g["sv"].to_numpy() * 1e2) / 1e2
+        return g
 
-    # stabilize the per-bucket sums BEFORE the fill so forward-filled copies
-    # carry the exact decimal the oracle computes; fused into the fill's tag
-    # pass (no extra map stage between the two shuffles)
-    def stab_sv(b: pa.Table) -> pa.Table:
-        sv = np.round(b["sv"].to_numpy(zero_copy_only=False) * 1e2) / 1e2
-        return b.set_column(b.column_names.index("sv"), "sv", pa.array(sv))
-
-    filled = regularize_per_key(agg, key="user_id", ts_col="hour",
+    filled = regularize_per_key(ds, key="user_id", ts_col="hour",
                                 value_cols=["sv"], freq="1h",
-                                method="forward", pre=stab_sv)
+                                method="forward", pre=hour,
+                                combine="sum", post_combine=stab_sv)
     out = filled.to_pandas()
     out = _round(out, {"sv": 2})
     out = out.rename(columns={"sv": "value_filled"})
@@ -405,17 +408,14 @@ GROUP BY d.source, i.source_id
 def setops_event_users(sf_dir: str) -> pd.DataFrame:
     """Distinct set ops: users with purchases INTERSECT / EXCEPT users with
     errors — one groupby shuffle each over per-batch-deduped keys."""
-    from ..stages.setops import presence_aggregate, select_setop
+    from ..stages.setops import presence_aggregate_tagged, select_setop
 
-    def side(event_type: str) -> rd.Dataset:
-        return read_parquet(_t(sf_dir, "events"), columns=["user_id",
-                                                              "event_type"],
-                               filter=pc.field("event_type") == event_type
-                               ).select_columns(["user_id"])
-
-    # ONE shuffle feeds both set ops; the aggregate is tiny, materialize it
-    agg = presence_aggregate(side("purchase"), side("error"),
-                             ["user_id"]).materialize()
+    # ONE scan of events feeds both sides (r03: two filtered reads scanned
+    # the table twice — 10.1 s driver wall); ONE shuffle feeds both set ops;
+    # the aggregate is tiny, materialize it
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    agg = presence_aggregate_tagged(ds, ["user_id"], "event_type",
+                                    "purchase", "error").materialize()
     both = select_setop(agg, ["user_id"], anti=False).to_pandas()
     only = select_setop(agg, ["user_id"], anti=True).to_pandas()
     both["setop"] = "intersect"

@@ -309,14 +309,24 @@ PART_PRED = Or([
 def part_filter_string_predicates(sf_dir: str) -> pd.DataFrame:
     """String-predicate family (Contains/StartsWith/EndsWith + Or/Not/Ne —
     reference P1/P2 ops beyond the pushdown-eligible set): the composed AST
-    is applied at the read (non-eligible ops evaluate post-scan inside the
-    scanner) and the oracle WHERE clause renders from the SAME AST."""
+    is NOT pushdown-eligible, so rather than letting it evaluate post-scan
+    inside the fragment scanner (r03 driver wall 4.9 s — the scanner applies
+    non-eligible filters serially per fragment), the read stays a pruned
+    column scan and the AST evaluates vectorized in ``map_batches`` (Acero
+    accepts the same Expression on in-memory tables). The oracle WHERE
+    clause renders from the SAME AST."""
     assert not PART_PRED.can_push_down()  # documents eligibility reporting
     ds = read_parquet(_t(sf_dir, "part"),
                          columns=["p_name", "p_brand", "p_type", "p_size",
-                                  "p_retailprice"],
-                         filter=PART_PRED.to_expression())
-    out = (ds.groupby("p_brand")
+                                  "p_retailprice"])
+    expr = PART_PRED.to_expression()
+
+    def apply_pred(b: pa.Table) -> pa.Table:
+        return b.filter(expr)
+
+    out = (ds.map_batches(apply_pred, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("p_brand")
            .aggregate(Count(alias_name="n_parts"),
                       Sum("p_retailprice", alias_name="sum_price"))).to_pandas()
     return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})
@@ -766,26 +776,35 @@ def events_hive_roundtrip(sf_dir: str) -> pd.DataFrame:
     (partition_cols=)` + partition-aware `read_parquet`."""
     import tempfile
 
+    import shutil
+
     ds = read_parquet(_t(sf_dir, "events"),
                       columns=["event_id", "event_type", "value"])
     out_dir = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
-    ds.write_parquet(out_dir, partition_cols=["event_type"])
-    back = read_parquet(out_dir)
+    try:
+        ds.write_parquet(out_dir, partition_cols=["event_type"])
+        back = read_parquet(out_dir)
 
-    def fix(b: pa.Table) -> pa.Table:
-        # partition columns come back as dictionary<string> — decode for
-        # the aggregate and the oracle's plain-string schema
-        et = b.column("event_type")
-        if pa.types.is_dictionary(et.type):
-            b = b.set_column(b.schema.get_field_index("event_type"),
-                             "event_type", et.cast(pa.string()))
-        return b
+        def fix(b: pa.Table) -> pa.Table:
+            # partition columns come back as dictionary<string> — decode for
+            # the aggregate and the oracle's plain-string schema
+            et = b.column("event_type")
+            if pa.types.is_dictionary(et.type):
+                b = b.set_column(b.schema.get_field_index("event_type"),
+                                 "event_type", et.cast(pa.string()))
+            return b
 
-    out = (back.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("event_type")
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value"),
-                      Max("event_id", alias_name="max_event_id"))).to_pandas()
+        out = (back.map_batches(fix, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("value", alias_name="sum_value"),
+                          Max("event_id", alias_name="max_event_id"))
+               ).to_pandas()
+    finally:
+        # the roundtrip copy is per-call scratch: best-of-2 bench + gate
+        # sweeps would otherwise accumulate a full events copy per run
+        shutil.rmtree(out_dir, ignore_errors=True)
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
@@ -859,6 +878,11 @@ def events_user_cumsum(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         u = g["user_id"].to_numpy()
         v = g["value"].to_numpy(dtype=np.float64)
+        # a null value becomes NaN here and NaN.astype(int64) is undefined
+        # (INT64_MIN) — treat null as 0, mirroring SUM OVER's null skipping
+        # in the SQL oracle (fixture is null-free today; this keeps the
+        # semantics defined if that changes)
+        v = np.nan_to_num(v, nan=0.0)
         cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
         n = len(g)
         first = np.empty(n, dtype=bool)

@@ -79,8 +79,10 @@ class _PartialStats:
         counts = np.bincount(assign, minlength=k)
         sums = np.zeros((k, x.shape[1]))
         np.add.at(sums, assign, x)                           # integer-exact
-        id_sums = np.bincount(assign, weights=ids.astype(np.float64),
-                              minlength=k)
+        # accumulate the id-sum witness in int64 (float64 bincount weights
+        # silently lose precision past 2^53 — large ids x big batches)
+        id_sums = np.zeros(k, dtype=np.int64)
+        np.add.at(id_sums, assign, ids.astype(np.int64))
         nz = np.flatnonzero(counts)
         return pa.table({
             "cluster": pa.array(nz.astype(np.int64)),

@@ -78,8 +78,17 @@ def sample_k_deterministic(ds: rd.Dataset, k: int, id_col: str = "doc_id"
     from .topk import topk
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.int64) * KNUTH) % _MOD
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # enforce the module's id < 2^31 precondition loudly: ids past
+        # ~3.47e9 wrap the int64 product while the BIGINT oracle doesn't,
+        # silently diverging from the SQL mirror
+        if ids.size and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError(
+                f"sample_k_deterministic requires 0 <= {id_col} < 2^31 "
+                f"(got range [{ids.min()}, {ids.max()}]); the Knuth-hash "
+                "int64 arithmetic must match the oracle's BIGINT exactly")
+        h = (ids * KNUTH) % _MOD
         return batch.append_column("_h", pa.array(h.astype(np.int64)))
 
     tagged = ds.map_batches(add_hash, batch_format="pyarrow",

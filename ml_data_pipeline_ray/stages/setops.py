@@ -36,6 +36,32 @@ def presence_aggregate(a: rd.Dataset, b: rd.Dataset,
                                         Max("_side", alias_name="_mx"))
 
 
+def presence_aggregate_tagged(ds: rd.Dataset, cols: list[str],
+                              tag_col: str, a_value, b_value) -> rd.Dataset:
+    """Single-scan variant of :func:`presence_aggregate`: when both set-op
+    sides are row subsets of ONE dataset distinguished by ``tag_col`` (e.g.
+    users-with-purchases vs users-with-errors over ``events``), scan the
+    input once and derive the side tag per row instead of issuing two reads
+    with complementary filters (which scan the source twice). Rows matching
+    neither value are dropped; rows matching ``a_value`` get side 0,
+    ``b_value`` side 1. Same downstream contract as
+    :func:`presence_aggregate` (feed :func:`select_setop`)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch[tag_col]
+        is_a = pc.equal(col, a_value)
+        is_b = pc.equal(col, b_value)
+        batch = batch.append_column(
+            "_side", pc.cast(pc.if_else(is_a, 0, 1), pa.int8()))
+        batch = batch.filter(pc.or_(is_a, is_b))
+        # per-batch pre-dedup: only distinct (key, side) rows enter the shuffle
+        return batch.select([*cols, "_side"]).group_by(
+            [*cols, "_side"]).aggregate([])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(cols).aggregate(Min("_side", alias_name="_mn"),
+                                          Max("_side", alias_name="_mx"))
+
+
 def select_setop(agg: rd.Dataset, cols: list[str], anti: bool) -> rd.Dataset:
     def pick(batch: pa.Table) -> pa.Table:
         if anti:

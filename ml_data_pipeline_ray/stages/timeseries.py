@@ -79,7 +79,9 @@ def fill_gaps(df: pd.DataFrame, ts_col: str, value_cols: list[str],
 
 def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
                        value_cols: list[str], freq: str,
-                       method: str = "forward", pre=None) -> rd.Dataset:
+                       method: str = "forward", pre=None,
+                       combine: str | None = None,
+                       post_combine=None) -> rd.Dataset:
     """Distributed per-key gap fill: one shuffle on ``key``, then each series
     regularizes independently inside ``map_groups``.
 
@@ -92,12 +94,24 @@ def regularize_per_key(ds: rd.Dataset, key: str, ts_col: str,
     per-key pandas kernel.
 
     ``pre`` (optional, Arrow table -> Arrow table) is fused into the bucket
-    tag pass so a caller's per-batch pre-transform (e.g. decimal
-    stabilization of aggregate sums) doesn't cost its own map stage between
-    the aggregate and fill shuffles."""
+    tag pass so a caller's per-batch pre-transform (e.g. deriving the bucket
+    timestamp) doesn't cost its own map stage before the fill shuffle.
+
+    ``combine="sum"`` handles inputs with MULTIPLE rows per (key, ts) — the
+    usual "bucket raw events to the grid, then fill" pipeline — WITHOUT a
+    separate distributed aggregate: the tag pass partially sums duplicates
+    per batch (map-side combine, so only pre-shrunk rows enter the ONE fill
+    shuffle) and each bucket finishes the sum before filling. This replaces
+    the aggregate-shuffle + fill-shuffle two-exchange shape with a single
+    exchange. ``post_combine`` (pandas df -> df) runs per bucket after the
+    final combine and before the fill — the hook for decimal stabilization
+    of completed sums."""
     if method in ("forward", "backward", "zero", "nan"):
         return _regularize_bucketed(ds, key, ts_col, value_cols, freq, method,
-                                    pre=pre)
+                                    pre=pre, combine=combine,
+                                    post_combine=post_combine)
+    if combine is not None:
+        raise ValueError("combine= requires a non-linear fill method")
     if pre is not None:
         ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     other = [key] + value_cols
@@ -176,10 +190,13 @@ def _fill_many(g: pd.DataFrame, key: str, ts_col: str,
 def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
                          value_cols: list[str], freq: str, method: str,
                          num_buckets: int | None = None,
-                         pre=None) -> rd.Dataset:
+                         pre=None, combine: str | None = None,
+                         post_combine=None) -> rd.Dataset:
     import pyarrow as pa
     import ray
 
+    if combine not in (None, "sum"):
+        raise ValueError(f"unsupported combine {combine!r}")
     if num_buckets is None:
         cpus = (int(ray.cluster_resources().get("CPU", 8))
                 if ray.is_initialized() else 8)
@@ -190,14 +207,25 @@ def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
     def tag(batch: pa.Table) -> pa.Table:
         if pre is not None:
             batch = pre(batch)
+        batch = batch.select(cols)
+        if combine == "sum":
+            # map-side partial combine: duplicates of (key, ts) within the
+            # batch collapse before the shuffle
+            batch = batch.group_by([key, ts_col]).aggregate(
+                [(c, "sum") for c in value_cols]).rename_columns(cols)
         kv = batch.column(key).to_numpy(zero_copy_only=False)
         b = (pd.util.hash_array(kv, categorize=True)
              % np.uint64(num_buckets)).astype(np.int32)
-        return batch.select(cols).append_column("_kb", pa.array(b))
+        return batch.append_column("_kb", pa.array(b))
 
     def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return _fill_many(g.drop(columns=["_kb"]), key, ts_col, value_cols,
-                          freq_ns, method)
+        g = g.drop(columns=["_kb"])
+        if combine == "sum":
+            g = g.groupby([key, ts_col], as_index=False, sort=False)[
+                value_cols].sum()
+        if post_combine is not None:
+            g = post_combine(g)
+        return _fill_many(g, key, ts_col, value_cols, freq_ns, method)
 
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_kb").map_groups(fill_bucket, batch_format="pandas"))
