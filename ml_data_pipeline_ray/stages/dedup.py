@@ -285,13 +285,17 @@ class MinHashStage:
         })
 
 
-def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
-                            k: int = 3, num_hashes: int = 128,
-                            num_bands: int = 32,
-                            concurrency: int | None = None) -> pd.DataFrame:
+def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
+                               text_col: str = "text",
+                               k: int = 3, num_hashes: int = 128,
+                               num_bands: int = 32,
+                               concurrency: int | None = None) -> rd.Dataset:
     """Distributed LSH candidate generation: distinct id pairs sharing at
-    least one (band, band_hash) bucket. Returns a driver-side DataFrame of
-    candidate pairs (small by construction: only near-dup suspects)."""
+    least one (band, band_hash) bucket. Returns a MATERIALIZED Dataset of
+    ``(id_a, id_b)`` — the pair list never lands on the driver, so a
+    dup-storm corpus (every row duplicated) cannot concentrate there.
+    Shuffles: one bucket-shard exchange of (id, band, band_hash), then one
+    distinct exchange of the (narrow) pair rows."""
     import ray
 
     stage = MinHashStage(id_col, text_col, k, num_hashes, num_bands)
@@ -333,126 +337,166 @@ def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
             out_a.append(u[a])
             out_b.append(u[b])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            # typed empty: all-singleton shards must union cleanly with
+            # pair-bearing shards in the downstream distinct exchange
+            return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                                 "id_b": pd.Series([], dtype=ids.dtype)})
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
     cand = (buckets.map_batches(tag, batch_format="pyarrow",
                                 zero_copy_batch=True)
             .groupby("_gb")
-            .map_groups(pairs_in_shard, batch_format="pandas")).to_pandas()
+            .map_groups(pairs_in_shard, batch_format="pandas"))
+
+    # distributed distinct: the same pair surfaces from several bands (and
+    # therefore several shards), so dedup needs one exchange — of two-int64
+    # rows only
+    from ray.data.aggregate import Count
+
+    def drop_count(b: pa.Table) -> pa.Table:
+        return b.select(["id_a", "id_b"])
+
+    distinct = (cand.groupby(["id_a", "id_b"])
+                .aggregate(Count(alias_name="_c"))
+                .map_batches(drop_count, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return distinct.materialize()
+
+
+def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
+                            k: int = 3, num_hashes: int = 128,
+                            num_bands: int = 32,
+                            concurrency: int | None = None) -> pd.DataFrame:
+    """Driver-collecting wrapper over :func:`minhash_candidate_pairs_ds`
+    for callers that want the (near-dup-density-bounded) pair list as a
+    DataFrame."""
+    cand = minhash_candidate_pairs_ds(ds, id_col, text_col, k, num_hashes,
+                                      num_bands, concurrency).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64)})
-    return cand.drop_duplicates().reset_index(drop=True)
+    return cand.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # distributed exact-Jaccard verification of candidate pairs
 # ---------------------------------------------------------------------------
 
-class _ShingleEmitter:
-    """For rows whose id participates in any candidate pair, emit one
-    ``(pair_idx, side, id, sh: list<uint64>)`` row per membership. Only
-    candidate rows' shingle sets ever leave the batch — the full sample is
-    never read onto the driver."""
+def _shingle_blob(texts, k: int) -> pa.Array:
+    """Word-k-gram shingle hash sets as ``large_binary`` (each row = the raw
+    little-endian bytes of its uint64 shingle hashes). Binary, not
+    ``list<uint64>``, because Acero's hash join rejects list payload columns
+    — and the blob decodes zero-copy with ``np.frombuffer``."""
+    th, counts = tokenize_offsets(texts)
+    sh, win = shingle_hashes(th, counts, k)
+    offs = (np.concatenate(([0], np.cumsum(win))).astype(np.int64)) * 8
+    return pa.Array.from_buffers(
+        pa.large_binary(), int(win.size),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(sh, dtype=np.uint64).tobytes())])
+
+
+def _shingle_views(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(element offsets, flat uint64 hashes) views of a shingle-blob array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    buf_offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offs = buf_offs[arr.offset:arr.offset + n + 1] // 8
+    data = arr.buffers()[2]
+    flat = (np.frombuffer(data, dtype=np.uint64) if data is not None
+            else np.array([], np.uint64))
+    return offs, flat
+
+
+def _expand_membership(b: pa.Table, id_col: str) -> pa.Table:
+    """(id_a, id_b) pair rows → two (id, id_a, id_b, side) membership rows
+    each, fully vectorized."""
+    n = b.num_rows
+
+    def one_side(id_src: str, side: int) -> pa.Table:
+        return pa.table({id_col: b.column(id_src),
+                         "id_a": b.column("id_a"),
+                         "id_b": b.column("id_b"),
+                         "side": pa.array(np.full(n, side, np.int8))})
+
+    return pa.concat_tables([one_side("id_a", 0),
+                             one_side("id_b", 1)]).combine_chunks()
+
+
+class _MembershipJoiner:
+    """Broadcast-membership shingle emitter: per batch, one vectorized Arrow
+    hash join of the batch's (id, text) rows against the (id, id_a, id_b,
+    side) membership table, then shingle-set computation for the matched
+    rows only. Emits ``(id_a, id_b, side, sh: list<uint64>)`` — only
+    candidate rows' shingle sets ever leave the batch; no per-pair Python
+    anywhere."""
 
     def __init__(self, members_ref, id_col: str, text_col: str, k: int):
         self._ref = members_ref
-        self.members = None
+        self.members: pa.Table | None = None
         self.id_col, self.text_col, self.k = id_col, text_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
-        import pyarrow.compute as pc
         if self.members is None:
-            self.members = (ray.get(self._ref)
-                            if not isinstance(self._ref, dict) else self._ref)
-            self._member_ids = pa.array(list(self.members))
-        # vectorized membership: narrow the batch to candidate rows with one
-        # is_in kernel; the per-membership Python expansion below only ever
-        # touches the (tiny) matched set
-        vs = self._member_ids
-        col = batch.column(self.id_col)
-        if vs.type != col.type:
-            vs = vs.cast(col.type)
-        batch = batch.filter(pc.fill_null(pc.is_in(col, value_set=vs), False))
-        ids = batch.column(self.id_col).to_pylist()
-        rows = [(i, pidx, side) for i, x in enumerate(ids)
-                for (pidx, side) in self.members[x]]
-        if not rows:
-            return pa.table({"pair_idx": pa.array([], pa.int64()),
-                             "side": pa.array([], pa.int8()),
-                             self.id_col: pa.array([], batch.schema.field(self.id_col).type),
-                             "sh": pa.array([], pa.list_(pa.uint64()))})
-        sel = pa.array([r[0] for r in rows], pa.int64())
-        sub = batch.take(sel)
-        th, counts = tokenize_offsets(sub.column(self.text_col))
-        sh, win = shingle_hashes(th, counts, self.k)
-        offsets = np.concatenate(([0], np.cumsum(win))).astype(np.int32)
-        sh_list = pa.ListArray.from_arrays(pa.array(offsets),
-                                           pa.array(sh, pa.uint64()))
-        return pa.table({"pair_idx": pa.array([r[1] for r in rows], pa.int64()),
-                         "side": pa.array([r[2] for r in rows], pa.int8()),
-                         self.id_col: sub.column(self.id_col),
-                         "sh": sh_list})
+            m = (ray.get(self._ref)
+                 if not isinstance(self._ref, pa.Table) else self._ref)
+            self.members = m.combine_chunks()
+        m = self.members
+        col_t = batch.schema.field(self.id_col).type
+        if m.schema.field(self.id_col).type != col_t:
+            m = m.set_column(m.schema.get_field_index(self.id_col),
+                             self.id_col, m.column(self.id_col).cast(col_t))
+        sub = batch.select([self.id_col, self.text_col]).join(
+            m, keys=self.id_col, join_type="inner")
+        return pa.table({"id_a": sub.column("id_a"),
+                         "id_b": sub.column("id_b"),
+                         "side": sub.column("side"),
+                         "sh": _shingle_blob(sub.column(self.text_col),
+                                             self.k)})
 
 
-def verify_candidate_pairs(ds: rd.Dataset, candidates: pd.DataFrame,
-                           id_col: str, text_col: str = "text",
-                           threshold: float = 0.8, k: int = 3) -> pd.DataFrame:
-    """Distributed exact-Jaccard verification: broadcast the candidate pair
-    list (small by construction), co-locate each pair's two shingle sets with
-    ONE ``groupby(pair_idx)`` shuffle, and verify inside ``map_groups``.
-    Returns the pairs with word-``k``-gram Jaccard >= threshold.
+def _verify_emitted_pairs(emitted: rd.Dataset, threshold: float) -> rd.Dataset:
+    """Shared verification exchange: bucket the ``(id_a, id_b, side, sh)``
+    rows by pair hash (many pairs per Ray group — one group per pair costs
+    ~0.5 ms of group machinery each), then exact-Jaccard inside each bucket.
 
-    Scale shape: shuffle volume = Σ per-candidate shingle sets (only suspects
-    move), never the corpus; the driver holds only the candidate list and the
-    verified result."""
-    if len(candidates) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object)})
+    Partitioning assumption: both sides of a pair land in one bucket
+    (guaranteed — the bucket is a pure function of (id_a, id_b))."""
     import ray
 
-    members: dict = {}
-    for pidx, (a, b) in enumerate(zip(candidates["id_a"], candidates["id_b"])):
-        members.setdefault(a, []).append((pidx, 0))
-        members.setdefault(b, []).append((pidx, 1))
-    ref = ray.put(members)
-
-    # Bucket MANY pairs per shuffle group (pair_idx % B): one Ray group per
-    # pair costs ~0.5 ms each of per-group machinery, which dominated the
-    # wall at ~20k candidates; per-pair work inside a bucket is two
-    # zero-copy offset slices + one intersect1d.
     cpus = (int(ray.cluster_resources().get("CPU", 8))
             if ray.is_initialized() else 8)
     num_buckets = max(8, 3 * cpus)
 
-    emitted = ds.map_batches(_ShingleEmitter(ref, id_col, text_col, k),
-                             batch_format="pyarrow")
-
     def tag(b: pa.Table) -> pa.Table:
-        vb = (b.column("pair_idx").to_numpy(zero_copy_only=False)
-              % num_buckets).astype(np.int32)
-        return b.append_column("_vb", pa.array(vb))
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (pd.util.hash_array(a, categorize=True)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + pd.util.hash_array(bb, categorize=True))
+        return b.append_column(
+            "_vb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
-    def check_bucket(g: pa.Table) -> pd.DataFrame:
+    def check_bucket(g: pa.Table) -> pa.Table:
+        a_t = g.schema.field("id_a").type
+        empty = pa.table({"id_a": pa.array([], a_t),
+                          "id_b": pa.array([], g.schema.field("id_b").type)})
         if g.num_rows == 0:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pidx = g.column("pair_idx").to_numpy(zero_copy_only=False)
+            return empty
+        av = g.column("id_a").to_numpy(zero_copy_only=False)
+        bv = g.column("id_b").to_numpy(zero_copy_only=False)
         side = g.column("side").to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, pidx))
-        pidx_s, side_s = pidx[order], side[order]
-        lists = g.column("sh")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = lists.values.to_numpy(zero_copy_only=False)
-        ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        new = np.ones(pidx_s.size, dtype=bool)
-        new[1:] = pidx_s[1:] != pidx_s[:-1]
+        order = np.lexsort((side, bv, av))
+        a_s, b_s, side_s = av[order], bv[order], side[order]
+        offs, flat = _shingle_views(g.column("sh"))
+        new = np.ones(a_s.size, dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
         starts = np.flatnonzero(new)
-        ends = np.concatenate((starts[1:], [pidx_s.size]))
+        ends = np.concatenate((starts[1:], [a_s.size]))
         out_a, out_b = [], []
         for s, e in zip(starts.tolist(), ends.tolist()):
             if e - s < 2 or side_s[s] != 0 or side_s[e - 1] != 1:
@@ -463,19 +507,87 @@ def verify_candidate_pairs(ds: rd.Dataset, candidates: pd.DataFrame,
             inter = np.intersect1d(sa, sb).size
             union = sa.size + sb.size - inter
             if union and inter / union >= threshold:
-                out_a.append(ids[ra])
-                out_b.append(ids[rb])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+                out_a.append(a_s[s])
+                out_b.append(b_s[s])
+        if not out_a:
+            return empty
+        return pa.table({"id_a": pa.array(np.asarray(out_a)).cast(a_t),
+                         "id_b": pa.array(np.asarray(out_b)).cast(a_t)})
 
-    out = (emitted.map_batches(tag, batch_format="pyarrow",
-                               zero_copy_batch=True)
-           .groupby("_vb")
-           .map_groups(check_bucket, batch_format="pyarrow")).to_pandas()
+    return (emitted.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_vb")
+            .map_groups(check_bucket, batch_format="pyarrow"))
+
+
+def verify_candidate_pairs(ds: rd.Dataset, candidates: pd.DataFrame,
+                           id_col: str, text_col: str = "text",
+                           threshold: float = 0.8, k: int = 3) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification, broadcast-membership path:
+    the candidate pair list (bounded by true near-dup density) expands to a
+    compact Arrow membership table broadcast once via ``ray.put``; each map
+    batch joins against it vectorized (Arrow hash join — no per-pair Python
+    anywhere), computes shingle sets for matched rows only, and ONE
+    pair-bucket shuffle co-locates each pair's two sides. Returns the pairs
+    with word-``k``-gram Jaccard >= threshold.
+
+    Scale shape: shuffle volume = Σ per-candidate shingle sets (only
+    suspects move), never the corpus; the driver holds only the compact
+    Arrow pair/membership tables and the verified result. For corpora where
+    even the pair LIST outgrows the driver (dup storms), use
+    :func:`verify_pairs_distributed`."""
+    if len(candidates) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    import ray
+
+    pairs = pa.Table.from_pandas(candidates[["id_a", "id_b"]],
+                                 preserve_index=False)
+    ref = ray.put(_expand_membership(pairs, id_col))
+    emitted = ds.map_batches(_MembershipJoiner(ref, id_col, text_col, k),
+                             batch_format="pyarrow")
+    out = _verify_emitted_pairs(emitted, threshold).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object)})
     return (out.sort_values(["id_a", "id_b"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset, id_col: str,
+                             text_col: str = "text", threshold: float = 0.8,
+                             k: int = 3) -> rd.Dataset:
+    """Fully distributed exact-Jaccard verification — the dup-storm path:
+    the candidate pair Dataset NEVER lands on the driver. The corpus is
+    pre-filtered with a Bloom filter built from the membership ids (driver
+    holds one bitmap, not the ids), shingle sets are computed for the
+    surviving suspects only, a bucketed :func:`hash_join` on id attaches
+    each suspect's shingles to its memberships, and the shared pair-bucket
+    exchange verifies each pair. Returns a Dataset of verified (id_a, id_b).
+
+    Cost vs the broadcast path: one extra exchange of the suspect shingle
+    rows (the join) — the price of unbounded pair counts."""
+    from .bloom import bloom_prefilter, build_bloom
+    from .joins import hash_join
+
+    cand = cand.materialize()   # consumed twice: bloom build + join
+    members = cand.map_batches(
+        lambda b: _expand_membership(b, id_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    bloom = build_bloom(members.select_columns([id_col]), on=[id_col])
+    suspects = bloom_prefilter(ds.select_columns([id_col, text_col]),
+                               bloom, on=[id_col])
+
+    def shingles(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col),
+                         "sh": _shingle_blob(b.column(text_col), k)})
+
+    emitted = hash_join(
+        suspects.map_batches(shingles, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        members, on=[id_col]).select_columns(["id_a", "id_b", "side", "sh"])
+    return _verify_emitted_pairs(emitted, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,57 @@ def test_minhash_lsh_finds_near_dups():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dup_storm_fully_distributed_neardup():
+    """Dup-storm corpus (50% duplicates): the Dataset-in/Dataset-out path
+    (minhash_candidate_pairs_ds -> verify_pairs_distributed) must find every
+    duplicate pair without the pair list ever living on the driver, and must
+    agree with the brute-force pairwise Jaccard oracle."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    n_base = 60
+    texts, ids = [], []
+    for i in range(n_base):
+        words = rng.choice(vocab, size=30, replace=True).tolist()
+        texts.append(" ".join(words))
+        ids.append(i)
+    # 50% duplicates: every base doc gets an exact copy
+    for i in range(n_base):
+        texts.append(texts[i])
+        ids.append(n_base + i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)
+
+    cand = dedup.minhash_candidate_pairs_ds(ds, id_col="doc_id")
+    got = (dedup.verify_pairs_distributed(ds, cand, id_col="doc_id",
+                                          threshold=0.8, k=3)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+
+    # brute-force oracle on the tiny fixture
+    def shingles(s):
+        w = s.split()
+        return {tuple(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    sh = [shingles(s) for s in texts]
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.8:
+                want.add((ids[a], ids[b]))
+    # every exact-duplicate pair must be present (Jaccard 1.0 >= any tau,
+    # and identical signatures always share every band)
+    assert all((i, n_base + i) in got_pairs for i in range(n_base))
+    # verification is exact, so no false positives vs the oracle
+    assert got_pairs <= want
+    # LSH recall at tau=0.8 with 32 bands x 4 rows: miss probability per
+    # qualifying pair < 1e-6 — require the full oracle set
+    assert got_pairs == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_broadcast_and_hash_join_agree():
     rng = np.random.default_rng(7)
     left = pd.DataFrame({"k": rng.integers(0, 50, 500),
