@@ -60,6 +60,8 @@ QUERY_SUITE = [
     "docs_corpus_curation", "events_user_cumsum", "events_session_stats",
     "docs_sliding_chunks", "docs_sample_k", "orders_customer_salted",
     "embeddings_label_centroids",
+    # round 4 additions
+    "image_decode_stats", "csv_quote_roundtrip",
 ]
 
 
@@ -181,6 +183,82 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
     }
 
 
+def run_shape_sweeps(num_cpus: int) -> dict:
+    """Shape-axis sweeps mirroring the reference bench harness
+    (``ml-data-bench/src/main.rs:52-95``): column scaling {10,20,50,100} at
+    1e5 rows and row scaling {1e3..1e6} at 10 columns, over the reference's
+    synthetic column mix (1/3 int, 1/3 float64, 1/3 string). Each cell is a
+    full distributed pipeline pass — generate blocks in tasks, one
+    ``map_batches`` that touches EVERY column vectorized (sum / length-sum),
+    reduce — timed after one warmup, best of 3 (reference: 1 warmup + 3
+    iterations). Reports rows/s per shape."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    def gen(num_columns: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            base = b.column("id").to_numpy(zero_copy_only=False)
+            cols = {}
+            for i in range(num_columns):
+                if i % 3 == 0:
+                    cols[f"int_col_{i}"] = pa.array(
+                        (base + i).astype(np.int32))
+                elif i % 3 == 1:
+                    cols[f"float_col_{i}"] = pa.array((base + i) * 0.1)
+                else:
+                    s = np.char.mod(f"s{i}_%d", base % 1000)
+                    cols[f"string_col_{i}"] = pa.array(s)
+            return pa.table(cols)
+        return fn
+
+    def touch_all(b: pa.Table) -> pa.Table:
+        acc_i, acc_f = 0, 0.0
+        for f in b.schema:
+            if pa.types.is_integer(f.type):
+                acc_i += pc.sum(b.column(f.name)).as_py() or 0
+            elif pa.types.is_floating(f.type):
+                acc_f += pc.sum(b.column(f.name)).as_py() or 0.0
+            else:
+                acc_i += pc.sum(pc.utf8_length(b.column(f.name))).as_py() or 0
+        return pa.table({"i": pa.array([acc_i], pa.int64()),
+                         "f": pa.array([acc_f], pa.float64())})
+
+    def one(num_columns: int, rows: int) -> float:
+        blocks = max(2 * num_cpus, 16)
+        best = None
+        for it in range(4):                      # 1 warmup + best of 3
+            t0 = time.perf_counter()
+            ds = (rd.range(rows, override_num_blocks=blocks)
+                  .map_batches(gen(num_columns), batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .map_batches(touch_all, batch_format="pyarrow",
+                               zero_copy_batch=True))
+            n = sum(r["i"] is not None for r in ds.take_all())
+            assert n > 0
+            wall = time.perf_counter() - t0
+            if it:
+                best = wall if best is None else min(best, wall)
+        return round(rows / best, 1)
+
+    one(10, 100_000)   # discarded session warmup: worker-pool spin-up
+    col_sweep = {str(c): one(c, 100_000) for c in (10, 20, 50, 100)}
+    row_sweep = {str(r): one(10, r) for r in (1_000, 10_000, 100_000,
+                                              1_000_000)}
+    ray.shutdown()
+    return {"metric": "shape_sweep_rows_per_sec", "unit": "rows/sec",
+            "num_cpus": num_cpus,
+            "column_sweep_rows_per_sec": col_sweep,
+            "row_sweep_rows_per_sec": row_sweep}
+
+
 def run_scaling(sf_dir: str, levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     """Same headline job at several parallelism levels in fresh processes.
 
@@ -253,6 +331,8 @@ if __name__ == "__main__":
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--shapes" in sys.argv:
+        print(json.dumps(run_shape_sweeps(num_cpus)))
     else:
         include_queries = os.environ.get("MDPR_BENCH_NO_QUERIES") != "1"
         print(json.dumps(run_bench(num_cpus, sf_dir, include_queries)))

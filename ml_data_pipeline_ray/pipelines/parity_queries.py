@@ -495,6 +495,126 @@ FROM b GROUP BY format
 """
 
 
+def csv_quote_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV WRITER options parity (reference ``csv/writer.rs:59-222``):
+    values with embedded delimiters AND embedded quotes are written with
+    ``quote_style="all"``, booleans as ``yes``/``no`` literals, floats at
+    fixed 2-decimal precision — then read back typed and aggregated. Any
+    quoting/escaping/formatting defect shifts columns or corrupts values
+    and fails the hash vs the oracle on the ORIGINAL table."""
+    from ..sources.readers import write_csv
+
+    d = _scratch("csvq", sf_dir)
+    for old in _glob.glob(os.path.join(d, "*.csv")):
+        os.unlink(old)
+    ds = read_parquet(_t(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_name", "s_nationkey",
+                               "s_acctbal"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        addr = pc.binary_join_element_wise(
+            b["s_name"], pa.scalar(', "'),
+            pc.cast(b["s_nationkey"], pa.string()), pa.scalar('"'),
+            pa.scalar(""))
+        flag = pc.equal(pc.bit_wise_and(b["s_suppkey"], 1), 0)
+        return pa.table({"s_suppkey": b["s_suppkey"], "addr": addr,
+                         "flag": flag, "s_acctbal": b["s_acctbal"]})
+
+    write_csv(ds.map_batches(derive, batch_format="pyarrow",
+                             zero_copy_batch=True).repartition(4),
+              d, quote_style="all", bool_format=("yes", "no"),
+              float_precision=2)
+    back = read_csv_typed(
+        sorted(_glob.glob(os.path.join(d, "*.csv"))),
+        schema=pa.schema([("s_suppkey", pa.int64()), ("addr", pa.string()),
+                          ("flag", pa.bool_()), ("s_acctbal", pa.float64())]))
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "sum_addr_len": pa.array(
+                [pc.sum(pc.utf8_length(b["addr"])).as_py() or 0], pa.int64()),
+            "n_flag": pa.array(
+                [pc.sum(pc.cast(b["flag"], pa.int64())).as_py() or 0],
+                pa.int64()),
+            "sum_bal": pa.array(
+                [pc.sum(b["s_acctbal"]).as_py() or 0.0], pa.float64()),
+        })
+
+    parts = back.map_batches(agg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    out = pd.DataFrame({
+        "n": [np.int64(parts["n"].sum())],
+        "sum_addr_len": [np.int64(parts["sum_addr_len"].sum())],
+        "n_flag": [np.int64(parts["n_flag"].sum())],
+        "sum_bal": [np.round(parts["sum_bal"].sum() * 1e2) / 1e2],
+    })
+    return out
+
+
+SQL_CSV_QUOTE_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(s_name || ', "' || CAST(s_nationkey AS VARCHAR)
+                       || '"')) AS BIGINT)
+           AS sum_addr_len,
+       CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flag,
+       round(sum(round(s_acctbal, 2)) * 1e2) / 1e2 AS sum_bal
+FROM supplier
+"""
+
+
+def _png_fixture_path() -> str:
+    from ..stages.multimodal import make_png_fixture
+
+    d = _scratch("png", "global")
+    path = os.path.join(d, "pngs.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_png_fixture(n=96, seed=42), path)
+    return path
+
+
+def image_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode end-to-end (reference ``image.rs:183-413``, whose
+    decode is a stub — this one is real): seeded PNG blobs are decoded by
+    the builtin spec-based PNG decoder in an actor pool (PIL would be the
+    backend if importable), grayscale + dims + exact pixel sums are
+    recomputed from the PIXELS, and the aggregate is checked against the
+    encode-time truth columns stored beside the blobs — any decode bug
+    (unfilter, dims, channel order, luma) changes the hash."""
+    from ..stages.multimodal import ImageDecoder
+
+    ds = read_parquet(_png_fixture_path(), columns=["item_id", "data"])
+    dec = ds.map_batches(ImageDecoder,
+                         fn_constructor_kwargs={"gray_witness": True},
+                         batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = (dec.groupby("channels")
+           .aggregate(Count(alias_name="n"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("px_sum", alias_name="sum_px"),
+                      Sum("px_sum_gray", alias_name="sum_px_gray"))
+           ).to_pandas()
+    for c in ("channels", "n", "sum_width", "sum_height", "sum_px",
+              "sum_px_gray"):
+        out[c] = out[c].astype(np.int64)
+    return out[["channels", "n", "sum_width", "sum_height", "sum_px",
+                "sum_px_gray"]]
+
+
+def sql_image_decode_stats() -> str:
+    path = _png_fixture_path()
+    return f"""
+SELECT CAST(true_channels AS BIGINT) AS channels,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_width) AS BIGINT) AS sum_width,
+       CAST(sum(true_height) AS BIGINT) AS sum_height,
+       CAST(sum(true_px_sum) AS BIGINT) AS sum_px,
+       CAST(sum(true_px_sum_gray) AS BIGINT) AS sum_px_gray
+FROM read_parquet('{path}') GROUP BY true_channels
+"""
+
+
 # -- S2: seekable CSV (row index + seek) -------------------------------------
 
 def csv_seek_supplier(sf_dir: str) -> pd.DataFrame:

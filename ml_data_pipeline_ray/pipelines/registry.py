@@ -24,21 +24,89 @@ from . import oracle_sql as S
 
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered cheapest-risk-first: the CDC flagship leads, the five queries
-    the round-2 driver run never recorded come right after it (so a
-    truncated/timed-out sweep still records them), then cheap reader parity,
-    then the relational/events/text families, with the most expensive query
-    (``neardup_minhash_docs``) last."""
+    """ROTATED for round 4 (VERDICT r03 item 1): the driver records the
+    first ~50 entries only, so the 39 queries it has never recorded (plus
+    this round's new queries and the queries whose code changed this round)
+    lead, ordered evidence-need-first — the two r02 hash-FAILs whose fix
+    has no driver signal yet are first. Queries with all-green
+    CORRECTNESS_r03 rows and unchanged code rotate to the back."""
     return {
-        # CDC flagship (SURVEY.md §7; north rule)
-        "cdc_replay": C.cdc_replay,
-        # round-2 driver gap: unrecorded by that run — keep these early
+        # r02 hash-FAILs — fixed in r03, judge-replica-verified, never
+        # driver-re-recorded: the single most important evidence gap
+        "events_asof_click": Q.events_asof_click,
+        "events_range_click_count": Q.events_range_click_count,
+        # never driver-recorded: relational / TPC-H family
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q6_revenue": Q.q6_revenue,
+        "q3_top_orders": Q.q3_top_orders,
+        "nation_revenue": Q.nation_revenue,
+        "top_orders": Q.top_orders,
+        "orders_per_priority": Q.orders_per_priority,
+        "customer_segments": Q.customer_segments,
+        "parts_by_brand": Q.parts_by_brand,
+        "supplier_balance_by_nation": Q.supplier_balance_by_nation,
+        "lineitem_filter_predicates": Q.lineitem_filter_predicates,
+        "part_filter_string_predicates": Q.part_filter_string_predicates,
+        # never driver-recorded: readers
+        "sql_source_events": P.sql_source_events,
+        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
+        "csv_inference_messy": P.csv_inference_messy,
+        "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
+        # new in round 4
+        "csv_quote_roundtrip": P.csv_quote_roundtrip,
+        "image_decode_stats": P.image_decode_stats,
+        # never driver-recorded: events / streaming-shaped
+        "events_hourly": Q.events_hourly,
+        "events_sessions": Q.events_sessions,
+        "events_user_stats": Q.events_user_stats,
+        "events_systematic_sample": Q.events_systematic_sample,
+        "union_event_slices": Q.union_event_slices,
+        "events_onehot": Q.events_onehot,
+        "events_rolling_3h": Q.events_rolling_3h,
+        "events_props_k": Q.events_props_k,
+        "distinct_event_types": Q.distinct_event_types,
+        # never driver-recorded: text analysis
+        "docs_token_stats": X.docs_token_stats,
+        "docs_quality_by_source": X.docs_quality_by_source,
+        "docs_langid": X.docs_langid,
+        "docs_fingerprint": X.docs_fingerprint,
+        # never driver-recorded: dedup + similarity search
+        "dedup_exact_events": X.dedup_exact_events,
+        "dedup_exact_docs": X.dedup_exact_docs,
+        "neardup_minhash": X.neardup_minhash,
+        "neardup_ngram": X.neardup_ngram,
+        "neardup_simhash": X.neardup_simhash,
+        "neardup_embedding": X.neardup_embedding,
+        "ann_topk": X.ann_topk,
+        "ann_ivf": X.ann_ivf,
+        "neardup_minhash_docs": X.neardup_minhash_docs,
+        # code changed this round (r03-green, re-record wanted): perf fixes
+        "setops_event_users": P.setops_event_users,
         "timeseries_fill_hourly": P.timeseries_fill_hourly,
+        "cdc_table_changes": C.cdc_table_changes,
+        "cdc_incremental_agg": C.cdc_incremental_agg,
+        "neardup_components": X.neardup_components,
+        "lineitem_bloom_join": Q.lineitem_bloom_join,
+        "embeddings_kmeans": X.embeddings_kmeans,
+        "events_hive_roundtrip": Q.events_hive_roundtrip,
+        "events_user_cumsum": Q.events_user_cumsum,
+        "docs_sample_k": X.docs_sample_k,
+        # ---- driver cutoff lands around here (first ~50 recorded) ----
+        # r03 all-green, code unchanged: rotate to the back
+        "cdc_replay": C.cdc_replay,
+        "cdc_replay_two_stage": C.cdc_replay_two_stage,
+        "cdc_replay_rounds": C.cdc_replay_rounds,
+        "cdc_replay_evolved": C.cdc_replay_evolved,
+        "cdc_replay_compacted": C.cdc_replay_compacted,
+        "cdc_tail_incremental": C.cdc_tail_incremental,
+        "cdc_time_travel": C.cdc_time_travel,
+        "csv_seek_supplier": P.csv_seek_supplier,
+        "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
+        "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
+        "text_lines_docs": P.text_lines_docs,
         "scaler_moments_lineitem": P.scaler_moments_lineitem,
         "dict_encode_docs": P.dict_encode_docs,
-        "setops_event_users": P.setops_event_users,
         "multimodal_sniff_decode": P.multimodal_sniff_decode,
-        # round-3 new coverage (incl. LLM corpus ops: packing/mixture/vocab)
         "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
         "avro_roundtrip_events": P.avro_roundtrip_events,
         "http_source_events": P.http_source_events,
@@ -57,79 +125,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_types": Q.events_pivot_types,
         "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "docs_words_explode": X.docs_words_explode,
-        "embeddings_kmeans": X.embeddings_kmeans,
-        "neardup_components": X.neardup_components,
         "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
         "lineitem_above_p95": Q.lineitem_above_p95,
-        "events_hive_roundtrip": Q.events_hive_roundtrip,
-        "lineitem_bloom_join": Q.lineitem_bloom_join,
         "events_approx_distinct": Q.events_approx_distinct,
         "docs_corpus_curation": X.docs_corpus_curation,
-        "events_user_cumsum": Q.events_user_cumsum,
         "events_session_stats": Q.events_session_stats,
         "docs_sliding_chunks": X.docs_sliding_chunks,
-        "docs_sample_k": X.docs_sample_k,
         "orders_customer_salted": Q.orders_customer_salted,
         "embeddings_label_centroids": X.embeddings_label_centroids,
-        # rest of the CDC family (shares cached fixtures with cdc_replay)
-        "cdc_replay_two_stage": C.cdc_replay_two_stage,
-        "cdc_replay_rounds": C.cdc_replay_rounds,
-        "cdc_replay_evolved": C.cdc_replay_evolved,
-        "cdc_replay_compacted": C.cdc_replay_compacted,
-        "cdc_tail_incremental": C.cdc_tail_incremental,
-        "cdc_time_travel": C.cdc_time_travel,
-        "cdc_table_changes": C.cdc_table_changes,
-        "cdc_incremental_agg": C.cdc_incremental_agg,
-        # cheap reader/stateful parity
-        "csv_seek_supplier": P.csv_seek_supplier,
-        "arrow_ipc_roundtrip_nation": P.arrow_ipc_roundtrip_nation,
-        "tfrecord_roundtrip_docs": P.tfrecord_roundtrip_docs,
-        "text_lines_docs": P.text_lines_docs,
-        "sql_source_events": P.sql_source_events,
-        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
-        "csv_inference_messy": P.csv_inference_messy,
-        # relational / TPC-H-ish (T1-T7, P1-P2, O1-O3, U1, joins)
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "q6_revenue": Q.q6_revenue,
-        "q3_top_orders": Q.q3_top_orders,
-        "nation_revenue": Q.nation_revenue,
-        "top_orders": Q.top_orders,
-        "orders_per_priority": Q.orders_per_priority,
-        "customer_segments": Q.customer_segments,
-        "parts_by_brand": Q.parts_by_brand,
-        "supplier_balance_by_nation": Q.supplier_balance_by_nation,
-        "lineitem_filter_predicates": Q.lineitem_filter_predicates,
-        "part_filter_string_predicates": Q.part_filter_string_predicates,
-        # events / streaming-shaped
-        "events_hourly": Q.events_hourly,
-        "events_sessions": Q.events_sessions,
-        "events_user_stats": Q.events_user_stats,
-        "events_systematic_sample": Q.events_systematic_sample,
-        "union_event_slices": Q.union_event_slices,
-        "events_onehot": Q.events_onehot,
-        "events_asof_click": Q.events_asof_click,
-        "events_range_click_count": Q.events_range_click_count,
-        "events_rolling_3h": Q.events_rolling_3h,
-        "events_props_k": Q.events_props_k,
-        "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
-        "distinct_event_types": Q.distinct_event_types,
-        # text analysis
-        "docs_token_stats": X.docs_token_stats,
-        "docs_quality_by_source": X.docs_quality_by_source,
-        "docs_langid": X.docs_langid,
-        "docs_fingerprint": X.docs_fingerprint,
-        # dedup
-        "dedup_exact_events": X.dedup_exact_events,
-        "dedup_exact_docs": X.dedup_exact_docs,
-        "neardup_minhash": X.neardup_minhash,
-        "neardup_ngram": X.neardup_ngram,
-        "neardup_simhash": X.neardup_simhash,
-        # similarity search
-        "neardup_embedding": X.neardup_embedding,
-        "ann_topk": X.ann_topk,
-        "ann_ivf": X.ann_ivf,
-        # most expensive last (transcript-corpus minhash at tau=0.5)
-        "neardup_minhash_docs": X.neardup_minhash_docs,
     }
 
 
@@ -185,6 +188,8 @@ def build_oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip_events": P.SQL_JSONL_ROUNDTRIP_EVENTS,
         "sql_source_events": P.SQL_SQL_SOURCE_EVENTS,
         "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
+        "csv_quote_roundtrip": P.SQL_CSV_QUOTE_ROUNDTRIP,
+        "image_decode_stats": P.sql_image_decode_stats(),
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

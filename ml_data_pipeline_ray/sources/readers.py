@@ -331,9 +331,66 @@ def read_csv_from_row(path: str, start_row: int,
             false_values=["false", "0", "no", "n", "f", "False", "FALSE"]))
 
 
-def write_csv(ds: rd.Dataset, out_dir: str, **kw) -> None:
-    """Dataset → directory of CSV part files (K1)."""
-    ds.write_csv(out_dir, **kw)
+def write_csv(ds: rd.Dataset, out_dir: str, *,
+              quote_style: str = "needed",
+              delimiter: str = ",",
+              include_header: bool = True,
+              bool_format: tuple[str, str] | None = None,
+              float_precision: int | None = None,
+              timestamp_format: str | None = None,
+              **kw) -> None:
+    """Dataset → directory of CSV part files (K1), with the reference
+    writer's options surface (``csv/writer.rs:59-222``):
+
+    - ``quote_style``: ``"needed"`` (only when required), ``"all"``
+      (every non-null value quoted), ``"none"`` (error if quoting would be
+      required) — mapped onto Arrow's quoting styles;
+    - ``bool_format``: (true, false) literals (e.g. ``("1", "0")``);
+    - ``float_precision``: fixed decimal places for float columns;
+    - ``timestamp_format``: strftime pattern for timestamp columns;
+    - dictionary-encoded columns are always decoded to their value type
+      before writing (CSV has no dictionary representation).
+
+    Per-type formatting runs vectorized in the write tasks (one
+    ``map_batches`` fused into the write), never on the driver."""
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    style = {"needed": "needed", "all": "all_valid",
+             "none": "none"}.get(quote_style)
+    if style is None:
+        raise ValueError(f"unknown quote_style {quote_style!r}")
+
+    def prep(b: pa.Table) -> pa.Table:
+        for i, f in enumerate(b.schema):
+            col, typ = b.column(i), f.type
+            changed = False
+            if pa.types.is_dictionary(typ):
+                col, typ, changed = col.cast(typ.value_type), typ.value_type, True
+            if bool_format is not None and pa.types.is_boolean(typ):
+                col, changed = pc.if_else(col, bool_format[0],
+                                          bool_format[1]), True
+            elif float_precision is not None and pa.types.is_floating(typ):
+                v = col.to_numpy(zero_copy_only=False)
+                s = np.char.mod(f"%.{float_precision}f", v)
+                col, changed = pa.array(np.where(np.isnan(v), None, s)), True
+            elif timestamp_format is not None and pa.types.is_timestamp(typ):
+                col, changed = pc.strftime(col, format=timestamp_format), True
+            if changed:
+                b = b.set_column(i, f.name, col)
+        return b
+
+    # zero-copy pass-through when nothing matches, so applying it
+    # unconditionally (dictionary columns must ALWAYS decode) stays cheap
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    def csv_args() -> dict:
+        # WriteOptions is not picklable — build it inside each write task
+        import pyarrow.csv as _pacsv
+        return {"write_options": _pacsv.WriteOptions(
+            quoting_style=style, delimiter=delimiter,
+            include_header=include_header)}
+
+    ds.write_csv(out_dir, arrow_csv_args_fn=csv_args, **kw)
 
 
 def read_sql_typed(query: str, db_path: str | None = None,

@@ -1,14 +1,25 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Mirrors the reference's image source surface (format sniffing + load modes,
-``ml-data/ml-data-readers/src/image.rs:51-77,183-413`` — whose decode is
-itself a stub returning placeholder dims) the Ray-native way: binary payloads
-ride in an Arrow ``binary`` column; decode/resize/feature stages are
-actor-pool ``map_batches`` classes. The actual pixel/sample decode is STUBBED
-(no image/audio libs in this container): :class:`ImageDecoder` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake feature vector so the Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) is real and tested.
+Mirrors the reference's image source surface (format sniffing + load modes +
+decode options, ``ml-data/ml-data-readers/src/image.rs:51-77,93-132,183-413``
+— whose decode is itself a stub returning placeholder dims) the Ray-native
+way: binary payloads ride in an Arrow ``binary`` column; decode/resize/
+feature stages are actor-pool ``map_batches`` classes.
+
+Decode backends, chosen once per actor in ``__init__``:
+
+- **PIL** when importable (any format PIL supports) — not present in this
+  container, so the import is guarded;
+- **builtin PNG** — a real decoder written from the public PNG spec
+  (IHDR parse, zlib inflate, scanline unfilter 0-4) for 8-bit gray / RGB /
+  gray+alpha / RGBA non-interlaced images, so real pixel decode works with
+  zero external dependencies;
+- ``fake=True`` — the deterministic stand-in (hash-derived dims + feature
+  vector) kept for plumbing tests and format-agnostic oracles.
+
+Options mirror the reference's enum (``image.rs:93-132``): ``resize``
+(nearest-neighbour, deterministic), ``grayscale`` (integer ITU-R 601 luma),
+``normalize`` (float32 / 255 on the feature output).
 
 Scale notes: large binary payloads need small ``batch_size`` and bounded
 ``target_max_block_size``; keep these stages in ``batch_format="pyarrow"``
@@ -16,6 +27,9 @@ Scale notes: large binary payloads need small ``batch_size`` and bounded
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -53,27 +67,209 @@ def sniff_format(batch: pa.Table, data_col: str = "data") -> pa.Table:
     return batch.append_column("format", fmt)
 
 
+# -- builtin PNG codec (public spec; 8-bit, non-interlaced) ------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → channel count (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines + one zlib IDAT) for uint8
+    arrays of shape (H, W) or (H, W, C) with C in {1, 2, 3, 4}. Test/fixture
+    scaffolding — deterministic bytes for a given array."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = np.ascontiguousarray(img, dtype=np.uint8)
+    # filter byte 0 per scanline
+    lines = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    lines[:, 1:] = raw.reshape(h, w * c)
+    idat = zlib.compress(lines.tobytes(), 6)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode from the public spec: IHDR parse, concatenated-IDAT
+    zlib inflate, per-scanline unfilter (types 0-4: None/Sub/Up/Average/
+    Paeth). Supports 8-bit gray / RGB / gray+alpha / RGBA, non-interlaced.
+    Returns uint8 (H, W, C)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        tag = buf[pos + 4:pos + 8]
+        payload = buf[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"builtin PNG decoder handles 8-bit non-interlaced "
+                    f"gray/RGB/LA/RGBA only (depth={depth}, "
+                    f"color_type={color_type}, interlace={interlace})")
+            c = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    if raw.size != h * stride:
+        raise ValueError("PNG data size mismatch")
+    lines = raw.reshape(h, stride)
+    filters = lines[:, 0]
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    bpp = c   # bytes per pixel at depth 8
+    for y in range(h):
+        cur = lines[y, 1:].astype(np.int32)
+        ftype = filters[y]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * c, np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:                            # Up
+            rec = cur + prev
+        elif ftype in (1, 3, 4):                    # Sub / Average / Paeth
+            rec = np.empty(w * c, dtype=np.int32)
+            for i in range(w * c):
+                # mask as we go: the left neighbour must be the RECONSTRUCTED
+                # byte (mod 256), not the raw running sum
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    rec[i] = (cur[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else cc)
+                    rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def _resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Deterministic nearest-neighbour resize to (width, height): the pixel
+    index map is ``floor((i + 0.5) * src / dst)`` — pure integer arithmetic,
+    identical on every platform."""
+    tw, th = size
+    h, w = img.shape[:2]
+    ys = ((np.arange(th) * 2 + 1) * h // (2 * th)).clip(0, h - 1)
+    xs = ((np.arange(tw) * 2 + 1) * w // (2 * tw)).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def _to_grayscale(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299 R + 587 G + 114 B) // 1000 — exact and
+    platform-independent. Gray inputs pass through; alpha is dropped."""
+    c = img.shape[2]
+    if c == 1:
+        return img
+    if c == 2:                                      # gray + alpha
+        return img[:, :, :1]
+    rgb = img[:, :, :3].astype(np.int64)
+    luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+            + 114 * rgb[:, :, 2]) // 1000
+    return luma.astype(np.uint8)[:, :, None]
+
+
 class ImageDecoder:
     """Actor-pool decode/feature stage over a binary image column.
 
-    ``__init__`` is the once-per-actor setup point (model / codec load);
-    ``__call__`` consumes a batch and appends ``(width, height, channels,
-    features: list<float>)``. Real decode requires an image library that is
-    not in this container — construct with ``fake=True`` for the
-    deterministic stand-in (hash-derived dims + feature vector), or get
-    ``NotImplementedError`` at setup, not mid-stream.
-    """
+    ``__init__`` is the once-per-actor setup point — it picks the decode
+    backend ONCE (PIL when importable, else the builtin PNG decoder) and
+    fixes the option set; ``__call__`` consumes a batch and appends
+    ``(width, height, channels, px_sum, features: list<float>)`` where
+    ``px_sum`` is the exact int64 sum of all pixel values AFTER
+    resize/grayscale (the end-to-end decode witness an oracle can check)
+    and ``features`` are per-channel means (÷255 when ``normalize``).
+
+    Options (reference ``image.rs:93-132``): ``resize=(w, h)`` nearest-
+    neighbour, ``grayscale`` integer luma, ``normalize`` floats in [0, 1].
+    ``fake=True`` keeps the deterministic no-decode stand-in (hash-derived
+    dims + feature vector) for format-agnostic plumbing tests."""
 
     def __init__(self, data_col: str = "data", feature_dim: int = 8,
-                 fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires an image library (PIL/cv2) not present "
-                "in this environment; pass fake=True for the deterministic stub")
+                 fake: bool = False, resize: tuple[int, int] | None = None,
+                 grayscale: bool = False, normalize: bool = False,
+                 gray_witness: bool = False):
         self.data_col = data_col
         self.feature_dim = feature_dim
+        self.fake = fake
+        self.resize, self.grayscale, self.normalize = resize, grayscale, normalize
+        self.gray_witness = gray_witness
+        self._pil = None
+        if not fake:
+            try:                                    # optional dependency
+                from PIL import Image as _PILImage  # noqa: N813
+                self._pil = _PILImage
+            except ImportError:
+                self._pil = None                    # builtin PNG path
+
+    def _decode_one(self, buf: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+            img = np.asarray(self._pil.open(io.BytesIO(buf)).convert("RGBA"))
+            return np.ascontiguousarray(img, dtype=np.uint8)
+        return decode_png(bytes(buf))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.fake:
+            return self._call_fake(batch)
+        col = batch.column(self.data_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        width = np.zeros(n, np.int32)
+        height = np.zeros(n, np.int32)
+        channels = np.zeros(n, np.int32)
+        px_sum = np.zeros(n, np.int64)
+        px_sum_gray = np.zeros(n, np.int64)
+        feats = np.zeros((n, self.feature_dim), np.float64)
+        for i in range(n):                    # per-image decode is inherent
+            img = self._decode_one(col[i].as_py())
+            if self.gray_witness:
+                px_sum_gray[i] = int(_to_grayscale(img).sum(dtype=np.int64))
+            if self.grayscale:
+                img = _to_grayscale(img)
+            if self.resize is not None:
+                img = _resize_nearest(img, self.resize)
+            h, w, c = img.shape
+            width[i], height[i], channels[i] = w, h, c
+            px_sum[i] = int(img.sum(dtype=np.int64))
+            means = img.reshape(-1, c).mean(axis=0, dtype=np.float64)
+            if self.normalize:
+                means = means / 255.0
+            feats[i, :min(c, self.feature_dim)] = means[:self.feature_dim]
+        batch = batch.append_column("width", pa.array(width))
+        batch = batch.append_column("height", pa.array(height))
+        batch = batch.append_column("channels", pa.array(channels))
+        batch = batch.append_column("px_sum", pa.array(px_sum))
+        if self.gray_witness:
+            batch = batch.append_column("px_sum_gray", pa.array(px_sum_gray))
+        batch = batch.append_column(
+            "features", pa.array(list(feats), type=pa.list_(pa.float64())))
+        return batch
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.data_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -91,6 +287,39 @@ class ImageDecoder:
         batch = batch.append_column(
             "features", pa.array(list(feats), type=pa.list_(pa.float64())))
         return batch
+
+
+def make_png_fixture(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-PNG fixture: n seeded gradient+noise images (gray /
+    RGB / RGBA mix, varied dims) encoded with :func:`encode_png`, plus the
+    encode-time truth columns an SQL oracle can aggregate —
+    ``(true_width, true_height, true_channels, true_px_sum,
+    true_px_sum_gray)`` — so a driver query that DECODES the blobs and
+    recomputes the same stats proves the decode end-to-end."""
+    rng = np.random.default_rng(seed)
+    chans = [1, 3, 4]
+    ids, blobs, tw, th, tc, ts, tsg = [], [], [], [], [], [], []
+    for i in range(n):
+        c = chans[i % len(chans)]
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        base = (np.arange(h)[:, None] + np.arange(w)[None, :])[:, :, None]
+        img = ((base * (i + 3) + rng.integers(0, 256, (h, w, c)))
+               % 256).astype(np.uint8)
+        ids.append(i)
+        blobs.append(encode_png(img))
+        tw.append(w)
+        th.append(h)
+        tc.append(c)
+        ts.append(int(img.sum(dtype=np.int64)))
+        tsg.append(int(_to_grayscale(img).sum(dtype=np.int64)))
+    return pa.table({"item_id": pa.array(ids, pa.int64()),
+                     "data": pa.array(blobs, pa.binary()),
+                     "true_width": pa.array(tw, pa.int32()),
+                     "true_height": pa.array(th, pa.int32()),
+                     "true_channels": pa.array(tc, pa.int32()),
+                     "true_px_sum": pa.array(ts, pa.int64()),
+                     "true_px_sum_gray": pa.array(tsg, pa.int64())})
 
 
 def make_binary_fixture(n: int = 64, seed: int = 42) -> pa.Table:

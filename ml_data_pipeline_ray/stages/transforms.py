@@ -130,6 +130,23 @@ def _align_column(col: pa.ChunkedArray | pa.Array,
             .cast(target)
     if pa.types.is_dictionary(arr.type):
         return _align_column(arr.cast(arr.type.value_type), target)
+    if pa.types.is_union(target) and pa.types.is_union(arr.type):
+        # union evolution (reference DataType::Union, schema.rs:13-106):
+        # same type-code layout, each child aligned recursively (Arrow has
+        # no union cast kernel, so rebuild)
+        src_codes = list(arr.type.type_codes)
+        dst_codes = list(target.type_codes)
+        if (arr.type.mode == target.mode and src_codes == dst_codes):
+            children = [
+                _combined(_align_column(arr.field(i), target.field(i).type))
+                for i in range(target.num_fields)]
+            names = [target.field(i).name for i in range(target.num_fields)]
+            if target.mode == "dense":
+                return pa.UnionArray.from_dense(
+                    _combined(arr.type_codes), _combined(arr.offsets),
+                    children, names, dst_codes)
+            return pa.UnionArray.from_sparse(
+                _combined(arr.type_codes), children, names, dst_codes)
     return arr.cast(target)  # re-raise the original error with full context
 
 

@@ -4,6 +4,8 @@ the changelog, unified via Arrow permissive promotion (reference analog:
 
 import glob
 
+import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -153,6 +155,22 @@ def test_align_to_schema_randomized_evolution_chains():
         dst_fl = (pa.list_(dst_n, 2) if rng.random() < 0.5 else pa.list_(dst_n))
         dst_dc = (pa.dictionary(pa.int64(), pa.large_string())
                   if rng.random() < 0.5 else pa.string())
+        # reference type-lattice corners (schema.rs:13-106): Float16 widening
+        # (int16 -> f16 -> f32 -> f64), Time32/Time64 unit widening, Union
+        # child widening (same code layout; Arrow has no union cast kernel)
+        f16_chain = [pa.int16(), pa.float16(), pa.float32(), pa.float64()]
+        fi = rng.randrange(len(f16_chain) - 1)
+        src_f16, dst_f16 = f16_chain[fi], f16_chain[rng.randrange(
+            fi, len(f16_chain))]
+        time_chain = [pa.time32("s"), pa.time32("ms"), pa.time64("us"),
+                      pa.time64("ns")]
+        ti = rng.randrange(len(time_chain) - 1)
+        src_tm, dst_tm = time_chain[ti], time_chain[rng.randrange(
+            ti, len(time_chain))]
+        src_un = pa.union([pa.field("num", src_n), pa.field("str", pa.string())],
+                          "dense", [0, 1])
+        dst_un = pa.union([pa.field("num", dst_n), pa.field("str", pa.string())],
+                          "dense", [0, 1])
         dst = pa.schema([("a", dst_n), ("l", pa.list_(dst_n)),
                          ("s", dst_struct),
                          ("d", pa.decimal128(rng.randrange(7, 30), 2)),
@@ -160,6 +178,9 @@ def test_align_to_schema_randomized_evolution_chains():
                          ("fl", dst_fl),
                          ("dc", dst_dc),
                          ("ls", pa.list_(dst_struct)),
+                         ("h", dst_f16),
+                         ("t", dst_tm),
+                         ("u", dst_un),
                          ("new", pa.string())])
         vals = [rng.randrange(-1000, 1000) for _ in range(5)]
         batch = pa.table({
@@ -176,9 +197,25 @@ def test_align_to_schema_randomized_evolution_chains():
             "ls": pa.array(
                 [[{f"f{k}": f"v{k}-{x}" for k in range(n_struct_src)}]
                  for x in range(5)], pa.list_(src_struct)),
+            "h": (pa.array(np.array(np.abs(vals), np.float16))
+                  if src_f16 == pa.float16()
+                  else pa.array([abs(v) for v in vals], src_f16)),
+            "t": pa.array([abs(v) for v in vals], src_tm),
+            "u": pa.UnionArray.from_dense(
+                pa.array([0, 1, 0, 1, 0], pa.int8()),
+                pa.array([0, 0, 1, 1, 2], pa.int32()),
+                [pa.array(vals[:3], src_n), pa.array(["ux", "uy"])],
+                ["num", "str"], [0, 1]),
         })
         out = align_to_schema(batch, dst)
         assert out.schema == dst, trial
+        assert [float(v) for v in out["h"].to_pylist()] == \
+            [float(abs(v)) for v in vals]
+        got_t = out["t"].to_pylist()
+        want_t = pa.array([abs(v) for v in vals], src_tm).cast(dst_tm).to_pylist()
+        assert got_t == want_t
+        got_u = out["u"].to_pylist()
+        assert got_u == [vals[0], "ux", vals[1], "uy", vals[2]]
         assert [int(v) for v in out["a"].to_pylist()] == vals
         assert [int(x[0]) for x in out["l"].to_pylist()] == vals
         for x, row in enumerate(out["s"].to_pylist()):

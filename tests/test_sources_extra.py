@@ -261,3 +261,47 @@ def test_read_avro_dataset_file_parallel(tmp_path):
     df = ds.to_pandas().sort_values("k").reset_index(drop=True)
     assert len(df) == 30
     assert df["k"].tolist() == sorted(i * 10 + j for i in range(3) for j in range(10))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_csv_options_roundtrip(tmp_path):
+    """Writer options parity: quote_style='all' survives embedded delimiters
+    and quotes; bool/float/timestamp formatting and dictionary decode apply
+    per type; the typed read recovers the original values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ml_data_pipeline_ray.sources.readers import read_csv_typed, write_csv
+
+    t = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array(['a,b', 'say "hi"', 'plain']),
+        "d": pa.array(["x", "y", "x"]).dictionary_encode(),
+        "flag": pa.array([True, False, True]),
+        "v": pa.array([1.005, 2.5, -3.125], pa.float64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-02 03:04:05"] * 3)),
+    })
+    out = str(tmp_path / "csvw")
+    write_csv(rd.from_arrow(t), out, quote_style="all",
+              bool_format=("yes", "no"), float_precision=2,
+              timestamp_format="%Y-%m-%dT%H:%M:%S")
+    import glob
+    files = sorted(glob.glob(out + "/*.csv"))
+    raw = open(files[0]).read()
+    assert '"a,b"' in raw and '"say ""hi"""' in raw     # quoting + escaping
+    assert "yes" in raw and "no" in raw
+    assert "2024-01-02T03:04:05" in raw
+    back = read_csv_typed(files, schema=pa.schema(
+        [("k", pa.int64()), ("s", pa.string()), ("d", pa.string()),
+         ("flag", pa.bool_()), ("v", pa.float64()), ("ts", pa.string())]))
+    df = back.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["s"].tolist() == ['a,b', 'say "hi"', 'plain']
+    assert df["d"].tolist() == ["x", "y", "x"]          # dictionary decoded
+    assert df["flag"].tolist() == [True, False, True]
+    assert np.allclose(df["v"].to_numpy(), [1.0, 2.5, -3.12], atol=0.011)
+    # quote_style='none' raises when a value would need quoting
+    with pytest.raises(Exception):
+        write_csv(rd.from_arrow(t.select(["k", "s"])),
+                  str(tmp_path / "csvn"), quote_style="none")

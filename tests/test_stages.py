@@ -208,8 +208,6 @@ def test_multimodal_sniff_and_fake_decode():
     out = sniff_format(t)
     fmts = set(out["format"].to_pylist())
     assert fmts == {"jpeg", "png", "gif", "bmp"}
-    with pytest.raises(NotImplementedError):
-        ImageDecoder()
     dec = ImageDecoder(fake=True)
     feat = dec(out)
     assert feat["features"].type == pa.list_(pa.float64())
@@ -217,6 +215,108 @@ def test_multimodal_sniff_and_fake_decode():
     # deterministic
     feat2 = ImageDecoder(fake=True)(sniff_format(make_binary_fixture(n=16, seed=42)))
     assert feat.equals(feat2)
+
+
+def test_png_codec_roundtrip_all_color_types():
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (17, 11, c), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xffjunk")
+
+
+def test_png_decode_unfilters_sub_up_avg_paeth():
+    """Hand-filter scanlines with types 1-4 and check the decoder recovers
+    the original pixels (the encoder only emits type 0, so this covers the
+    spec paths foreign PNGs use)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    h, w, c = 6, 5, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8).astype(np.int32)
+    raw = img.reshape(h, w * c)
+    lines = bytearray()
+    for y in range(h):
+        ftype = [1, 2, 3, 4, 0, 2][y]
+        prev = raw[y - 1] if y else np.zeros(w * c, np.int32)
+        filt = np.zeros(w * c, np.int32)
+        for i in range(w * c):
+            a = raw[y][i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else cc)
+            filt[i] = (raw[y][i] - pred) & 0xFF
+        lines.append(ftype)
+        lines.extend(filt.astype(np.uint8).tobytes())
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(lines)))
+           + chunk(b"IEND", b""))
+    back = decode_png(buf)
+    assert (back == img.astype(np.uint8)).all()
+
+
+def test_image_decoder_options_real_decode():
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (ImageDecoder,
+                                                        _resize_nearest,
+                                                        _to_grayscale,
+                                                        make_png_fixture)
+
+    t = make_png_fixture(n=9, seed=1)
+    out = ImageDecoder(gray_witness=True)(t)
+    assert (out["width"].to_numpy() == t["true_width"].to_numpy()).all()
+    assert (out["height"].to_numpy() == t["true_height"].to_numpy()).all()
+    assert (out["channels"].to_numpy() == t["true_channels"].to_numpy()).all()
+    assert (out["px_sum"].to_numpy() == t["true_px_sum"].to_numpy()).all()
+    assert (out["px_sum_gray"].to_numpy()
+            == t["true_px_sum_gray"].to_numpy()).all()
+    # resize: every output dim forced to (10, 7); nearest-neighbour picks
+    # existing pixels, so the resized sum equals the numpy gather
+    r = ImageDecoder(resize=(10, 7))(t)
+    assert (r["width"].to_numpy() == 10).all()
+    assert (r["height"].to_numpy() == 7).all()
+    from ml_data_pipeline_ray.stages.multimodal import decode_png
+    img0 = decode_png(t["data"][0].as_py())
+    assert r["px_sum"][0].as_py() == int(
+        _resize_nearest(img0, (10, 7)).sum(dtype=np.int64))
+    # grayscale + normalize: single channel, features in [0, 1]
+    g = ImageDecoder(grayscale=True, normalize=True)(t)
+    assert (g["channels"].to_numpy() == 1).all()
+    f0 = np.asarray(g["features"][0].as_py())
+    assert 0.0 <= f0[0] <= 1.0
+    img0g = _to_grayscale(img0)
+    assert abs(f0[0] - img0g.mean() / 255.0) < 1e-12
 
 
 @pytest.mark.usefixtures("ray_session")
