@@ -615,6 +615,56 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _wav_fixture_path() -> str:
+    from ..stages.multimodal import make_wav_fixture
+
+    d = _scratch("wav", "global")
+    path = os.path.join(d, "wavs.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_wav_fixture(n=96, seed=42), path)
+    return path
+
+
+def audio_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode end-to-end (the audio analogue of
+    :func:`image_decode_stats`): seeded RIFF/PCM WAV clips are decoded by
+    the builtin spec-based WAV decoder in an actor pool, per-clip channel /
+    rate / sample-count / exact |sample| sums are recomputed from the PCM
+    SAMPLES, and the aggregate is checked against the encode-time truth
+    columns stored beside the blobs — any decode bug (chunk walk, fmt
+    parse, channel deinterleave, sign) changes the hash."""
+    from ..stages.multimodal import AudioDecoder
+
+    ds = read_parquet(_wav_fixture_path(), columns=["item_id", "data"])
+    dec = ds.map_batches(AudioDecoder, batch_format="pyarrow",
+                         concurrency=2, batch_size=32)
+    out = (dec.groupby("channels")
+           .aggregate(Count(alias_name="n"),
+                      Sum("sample_rate", alias_name="sum_rate"),
+                      Sum("n_samples", alias_name="sum_samples"),
+                      Sum("duration_ms", alias_name="sum_dur_ms"),
+                      Sum("abs_sum", alias_name="sum_abs"))
+           ).to_pandas()
+    for c in ("channels", "n", "sum_rate", "sum_samples", "sum_dur_ms",
+              "sum_abs"):
+        out[c] = out[c].astype(np.int64)
+    return out[["channels", "n", "sum_rate", "sum_samples", "sum_dur_ms",
+                "sum_abs"]]
+
+
+def sql_audio_decode_stats() -> str:
+    path = _wav_fixture_path()
+    return f"""
+SELECT CAST(true_channels AS BIGINT) AS channels,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_rate) AS BIGINT) AS sum_rate,
+       CAST(sum(true_n_samples) AS BIGINT) AS sum_samples,
+       CAST(sum(true_n_samples * 1000 // true_rate) AS BIGINT) AS sum_dur_ms,
+       CAST(sum(true_abs_sum) AS BIGINT) AS sum_abs
+FROM read_parquet('{path}') GROUP BY true_channels
+"""
+
+
 # -- S2: seekable CSV (row index + seek) -------------------------------------
 
 def csv_seek_supplier(sf_dir: str) -> pd.DataFrame:

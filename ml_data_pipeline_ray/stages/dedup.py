@@ -285,17 +285,15 @@ class MinHashStage:
         })
 
 
-def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
-                               text_col: str = "text",
-                               k: int = 3, num_hashes: int = 128,
-                               num_bands: int = 32,
-                               concurrency: int | None = None) -> rd.Dataset:
-    """Distributed LSH candidate generation: distinct id pairs sharing at
-    least one (band, band_hash) bucket. Returns a MATERIALIZED Dataset of
-    ``(id_a, id_b)`` — the pair list never lands on the driver, so a
-    dup-storm corpus (every row duplicated) cannot concentrate there.
-    Shuffles: one bucket-shard exchange of (id, band, band_hash), then one
-    distinct exchange of the (narrow) pair rows."""
+def _candidate_pairs_raw(ds: rd.Dataset, id_col: str,
+                         text_col: str = "text",
+                         k: int = 3, num_hashes: int = 128,
+                         num_bands: int = 32,
+                         concurrency: int | None = None) -> rd.Dataset:
+    """Banding + bucket-shard pipeline producing candidate ``(id_a, id_b)``
+    rows WITHOUT cross-shard dedup (a pair found in several bands appears
+    once per band-shard). Shared by the Dataset and driver-collecting
+    entry points, which dedup distributed / on the driver respectively."""
     import ray
 
     stage = MinHashStage(id_col, text_col, k, num_hashes, num_bands)
@@ -344,15 +342,29 @@ def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = (buckets.map_batches(tag, batch_format="pyarrow",
+    return (buckets.map_batches(tag, batch_format="pyarrow",
                                 zero_copy_batch=True)
             .groupby("_gb")
             .map_groups(pairs_in_shard, batch_format="pandas"))
 
-    # distributed distinct: the same pair surfaces from several bands (and
-    # therefore several shards), so dedup needs one exchange — of two-int64
-    # rows only
+
+def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
+                               text_col: str = "text",
+                               k: int = 3, num_hashes: int = 128,
+                               num_bands: int = 32,
+                               concurrency: int | None = None) -> rd.Dataset:
+    """Distributed LSH candidate generation: distinct id pairs sharing at
+    least one (band, band_hash) bucket. Returns a MATERIALIZED Dataset of
+    ``(id_a, id_b)`` — the pair list never lands on the driver, so a
+    dup-storm corpus (every row duplicated) cannot concentrate there.
+    Shuffles: one bucket-shard exchange of (id, band, band_hash), then one
+    distinct exchange of the (narrow) pair rows — the same pair surfaces
+    from several bands (and therefore several shards), so dedup needs an
+    exchange here."""
     from ray.data.aggregate import Count
+
+    cand = _candidate_pairs_raw(ds, id_col, text_col, k, num_hashes,
+                                num_bands, concurrency)
 
     def drop_count(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
@@ -368,15 +380,21 @@ def minhash_candidate_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                             k: int = 3, num_hashes: int = 128,
                             num_bands: int = 32,
                             concurrency: int | None = None) -> pd.DataFrame:
-    """Driver-collecting wrapper over :func:`minhash_candidate_pairs_ds`
-    for callers that want the (near-dup-density-bounded) pair list as a
-    DataFrame."""
-    cand = minhash_candidate_pairs_ds(ds, id_col, text_col, k, num_hashes,
-                                      num_bands, concurrency).to_pandas()
+    """Driver-collecting candidate generation for callers that want the
+    (near-dup-density-bounded) pair list as a DataFrame. Same banding +
+    shard pipeline as :func:`minhash_candidate_pairs_ds` but the cross-band
+    duplicate removal happens on the collected (bounded) list — one less
+    exchange than the Dataset path, which matters because the duplicates
+    are at most ``num_bands`` per true pair."""
+    # reuse the shard pipeline up to (but not including) the distinct
+    # exchange by running the _ds body inline without it
+    cand = _candidate_pairs_raw(ds, id_col, text_col, k, num_hashes,
+                                num_bands, concurrency).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64)})
-    return cand.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (cand.drop_duplicates().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

@@ -289,6 +289,126 @@ class ImageDecoder:
         return batch
 
 
+# -- builtin WAV (RIFF/PCM) codec (public spec) ------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Minimal WAV encoder: int16 PCM, shape (n,) mono or (n, channels).
+    Test/fixture scaffolding — deterministic bytes for a given array."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block,
+                      block, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode from the public RIFF spec: chunk walk, fmt parse,
+    8/16/32-bit integer PCM. Returns (samples (n, channels) int32,
+    sample_rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        payload = buf[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"builtin WAV decoder handles integer PCM 8/16/32-bit only "
+            f"(format={audio_format}, bits={bits})")
+    dtype = {8: np.uint8, 16: "<i2", 32: "<i4"}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    if bits == 8:                                 # 8-bit WAV is unsigned
+        raw = raw.astype(np.int32) - 128
+    samples = raw.astype(np.int32).reshape(-1, ch)
+    return samples, rate
+
+
+class AudioDecoder:
+    """Actor-pool decode/feature stage over a binary WAV column — the audio
+    analogue of :class:`ImageDecoder`. Appends ``(channels, sample_rate,
+    n_samples, duration_ms, abs_sum)`` where ``abs_sum`` is the exact int64
+    sum of absolute sample values (the decode witness an oracle can check),
+    plus ``energy`` (mean square per sample, float64). ``frame_step``
+    optionally frame-samples: keep every ``frame_step``-th sample before
+    the stats (the video/audio frame-sampling shape)."""
+
+    def __init__(self, data_col: str = "data",
+                 frame_step: int | None = None):
+        self.data_col = data_col
+        self.frame_step = frame_step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.data_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        ch = np.zeros(n, np.int32)
+        rate = np.zeros(n, np.int32)
+        nsamp = np.zeros(n, np.int64)
+        dur = np.zeros(n, np.int64)
+        abs_sum = np.zeros(n, np.int64)
+        energy = np.zeros(n, np.float64)
+        for i in range(n):                    # per-clip decode is inherent
+            s, r = decode_wav(bytes(col[i].as_py()))
+            if self.frame_step:
+                s = s[::self.frame_step]
+            ch[i], rate[i] = s.shape[1], r
+            nsamp[i] = s.shape[0]
+            dur[i] = s.shape[0] * 1000 // r
+            a = s.astype(np.int64)
+            abs_sum[i] = int(np.abs(a).sum())
+            energy[i] = float((a * a).mean()) if a.size else 0.0
+        for name, arr in (("channels", ch), ("sample_rate", rate),
+                          ("n_samples", nsamp), ("duration_ms", dur),
+                          ("abs_sum", abs_sum), ("energy", energy)):
+            batch = batch.append_column(name, pa.array(arr))
+        return batch
+
+
+def make_wav_fixture(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-WAV fixture: seeded int16 PCM clips (mono/stereo
+    mix, varied lengths/rates) + encode-time truth columns
+    ``(true_channels, true_rate, true_n_samples, true_abs_sum)`` for the
+    SQL oracle."""
+    rng = np.random.default_rng(seed)
+    rates = [8_000, 16_000, 44_100]
+    ids, blobs, tc, tr, tn, ts = [], [], [], [], [], []
+    for i in range(n):
+        chn = 1 + (i % 2)
+        rate = rates[i % len(rates)]
+        length = int(rng.integers(100, 2000))
+        t = np.arange(length * chn).reshape(length, chn)
+        clip = ((np.sin(t * (0.01 + 0.001 * i)) * 12000)
+                + rng.integers(-500, 500, (length, chn))).astype(np.int16)
+        ids.append(i)
+        blobs.append(encode_wav(clip, rate))
+        tc.append(chn)
+        tr.append(rate)
+        tn.append(length)
+        ts.append(int(np.abs(clip.astype(np.int64)).sum()))
+    return pa.table({"item_id": pa.array(ids, pa.int64()),
+                     "data": pa.array(blobs, pa.binary()),
+                     "true_channels": pa.array(tc, pa.int32()),
+                     "true_rate": pa.array(tr, pa.int32()),
+                     "true_n_samples": pa.array(tn, pa.int64()),
+                     "true_abs_sum": pa.array(ts, pa.int64())})
+
+
 def make_png_fixture(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic REAL-PNG fixture: n seeded gradient+noise images (gray /
     RGB / RGBA mix, varied dims) encoded with :func:`encode_png`, plus the

@@ -217,6 +217,36 @@ def test_multimodal_sniff_and_fake_decode():
     assert feat.equals(feat2)
 
 
+def test_wav_codec_roundtrip_and_decode_stats():
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (
+        AudioDecoder, decode_wav, encode_wav, make_wav_fixture)
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2):
+        clip = rng.integers(-30000, 30000, (123, ch)).astype(np.int16)
+        back, rate = decode_wav(encode_wav(clip, 22_050))
+        assert rate == 22_050
+        assert back.shape == (123, ch)
+        assert (back == clip.astype(np.int32)).all()
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"\x89PNGjunkjunk")
+    # odd-length data chunk: the walker must word-align past it
+    odd = encode_wav(np.array([[1], [2], [3]], np.int16))  # 6-byte data
+    s, _ = decode_wav(odd + b"")
+    assert s[:, 0].tolist() == [1, 2, 3]
+    # decoder stats vs encode-time truth, incl. frame-sampled variant
+    t = make_wav_fixture(n=24, seed=11)
+    out = AudioDecoder()(t)
+    assert out["channels"].to_pylist() == [
+        int(x) for x in t["true_channels"].to_pylist()]
+    assert out["abs_sum"].to_pylist() == t["true_abs_sum"].to_pylist()
+    framed = AudioDecoder(frame_step=4)(t)
+    exp = [(n + 3) // 4 for n in t["true_n_samples"].to_pylist()]
+    assert framed["n_samples"].to_pylist() == exp
+
+
 def test_png_codec_roundtrip_all_color_types():
     import numpy as np
 
