@@ -665,6 +665,58 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _y4m_fixture_path() -> str:
+    from ..stages.multimodal import make_y4m_fixture
+
+    d = _scratch("y4m", "global")
+    path = os.path.join(d, "y4m.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_y4m_fixture(n=72, seed=42), path)
+    return path
+
+
+def video_frame_sample_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode + frame sampling end-to-end (the video analogue
+    of :func:`image_decode_stats`): seeded YUV4MPEG2 clips are decoded by
+    the builtin spec-based y4m decoder in an actor pool with
+    ``frame_step=2`` — only frames 0,2,4,… have their luma planes
+    materialized — and the exact luma sums over the SAMPLED frames are
+    checked against the encode-time even-frame witness column: a bug in
+    the FRAME walk, plane math or sampling stride changes the hash."""
+    from ..stages.multimodal import VideoDecoder
+
+    ds = read_parquet(_y4m_fixture_path(), columns=["item_id", "data"])
+    dec = ds.map_batches(VideoDecoder,
+                         fn_constructor_kwargs={"frame_step": 2},
+                         batch_format="pyarrow", concurrency=2,
+                         batch_size=16)
+    out = (dec.groupby("width")
+           .aggregate(Count(alias_name="n"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("n_frames", alias_name="sum_frames"),
+                      Sum("n_sampled", alias_name="sum_sampled"),
+                      Sum("y_sum", alias_name="sum_luma"))
+           ).to_pandas()
+    for c in ("width", "n", "sum_height", "sum_frames", "sum_sampled",
+              "sum_luma"):
+        out[c] = out[c].astype(np.int64)
+    return out[["width", "n", "sum_height", "sum_frames", "sum_sampled",
+                "sum_luma"]]
+
+
+def sql_video_frame_sample_stats() -> str:
+    path = _y4m_fixture_path()
+    return f"""
+SELECT CAST(true_w AS BIGINT) AS width,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_h) AS BIGINT) AS sum_height,
+       CAST(sum(true_frames) AS BIGINT) AS sum_frames,
+       CAST(sum((true_frames + 1) // 2) AS BIGINT) AS sum_sampled,
+       CAST(sum(true_y_sum_even) AS BIGINT) AS sum_luma
+FROM read_parquet('{path}') GROUP BY true_w
+"""
+
+
 # -- S2: seekable CSV (row index + seek) -------------------------------------
 
 def csv_seek_supplier(sf_dir: str) -> pd.DataFrame:

@@ -56,6 +56,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "csv_quote_roundtrip": P.csv_quote_roundtrip,
         "image_decode_stats": P.image_decode_stats,
         "audio_decode_stats": P.audio_decode_stats,
+        "video_frame_sample_stats": P.video_frame_sample_stats,
         # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -192,6 +193,7 @@ def build_oracle_sql() -> dict[str, str]:
         "csv_quote_roundtrip": P.SQL_CSV_QUOTE_ROUNDTRIP,
         "image_decode_stats": P.sql_image_decode_stats(),
         "audio_decode_stats": P.sql_audio_decode_stats(),
+        "video_frame_sample_stats": P.sql_video_frame_sample_stats(),
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

@@ -247,6 +247,38 @@ def test_wav_codec_roundtrip_and_decode_stats():
     assert framed["n_samples"].to_pylist() == exp
 
 
+def test_y4m_codec_roundtrip_and_frame_sampling():
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (
+        VideoDecoder, decode_y4m, encode_y4m, make_y4m_fixture)
+
+    rng = np.random.default_rng(9)
+    clip = rng.integers(0, 256, (7, 10, 12), dtype=np.uint8)
+    buf = encode_y4m(clip, (30000, 1001))
+    y, w, h, fps, total = decode_y4m(buf)
+    assert (y == clip).all()
+    assert (w, h, fps, total) == (12, 10, (30000, 1001), 7)
+    # planar C444 source: Y plane round-trips
+    p = rng.integers(0, 256, (4, 3, 6, 8), dtype=np.uint8)
+    y2, _, _, _, t2 = decode_y4m(encode_y4m(p))
+    assert (y2 == p[:, 0]).all() and t2 == 4
+    # frame sampling never touches unsampled frames' bytes
+    ys, *_, tot = decode_y4m(buf, frame_step=3)
+    assert tot == 7 and (ys == clip[::3]).all()
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFFjunkjunkjunk")
+    # stage stats vs encode-time truth (all frames + even-frame witness)
+    t = make_y4m_fixture(n=12, seed=5)
+    out = VideoDecoder(frame_step=2)(t)
+    assert out["width"].to_pylist() == [
+        int(x) for x in t["true_w"].to_pylist()]
+    assert out["n_frames"].to_pylist() == t["true_frames"].to_pylist()
+    assert out["y_sum"].to_pylist() == t["true_y_sum_even"].to_pylist()
+    assert VideoDecoder()(t)["y_sum"].to_pylist() == \
+        t["true_y_sum_all"].to_pylist()
+
+
 def test_png_codec_roundtrip_all_color_types():
     import numpy as np
 
