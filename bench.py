@@ -62,6 +62,8 @@ QUERY_SUITE = [
     "embeddings_label_centroids",
     # round 4 additions
     "image_decode_stats", "csv_quote_roundtrip",
+    "audio_decode_stats", "video_frame_sample_stats",
+    "docs_stratified_sample", "embeddings_quantize_int8",
 ]
 
 

@@ -864,6 +864,49 @@ LIMIT 100
 """
 
 
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+    FROM documents)
+WHERE rn <= 20
+"""
+
+
+# int8 quantization: the same integer-grid / non-negative-division
+# arithmetic as stages/quantize.py — every code is reproduced bit-for-bit
+SQL_EMBEDDINGS_QUANTIZE_INT8 = """
+WITH comp AS (
+    SELECT vec_id, label,
+           CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT)
+               AS g
+    FROM embeddings
+), withs AS (
+    SELECT *, max(abs(g)) OVER (PARTITION BY vec_id) AS s FROM comp
+), codes AS (
+    SELECT vec_id, label, s, g,
+           CASE WHEN s = 0 THEN 0
+                WHEN g < 0 THEN -((abs(g) * 127) // s)
+                ELSE (abs(g) * 127) // s END AS q
+    FROM withs
+), vec AS (
+    SELECT vec_id, label, any_value(s) AS s,
+           sum(q) AS vq, sum(abs(q)) AS vaq,
+           sum(abs(127 * g - q * s)) AS verr
+    FROM codes GROUP BY vec_id, label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vq) AS BIGINT) AS sum_q,
+       CAST(sum(vaq) AS BIGINT) AS sum_abs_q,
+       CAST(sum(s) AS BIGINT) AS sum_scale,
+       CAST(sum(verr) AS BIGINT) AS sum_err
+FROM vec GROUP BY label
+"""
+
+
 SQL_ORDERS_CUSTOMER_SALTED = """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
        round(round(sum(o_totalprice) * 1e2) / 1e2, 2) AS sum_price

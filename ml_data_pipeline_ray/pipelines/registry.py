@@ -57,6 +57,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": P.image_decode_stats,
         "audio_decode_stats": P.audio_decode_stats,
         "video_frame_sample_stats": P.video_frame_sample_stats,
+        "docs_stratified_sample": X.docs_stratified_sample,
+        "embeddings_quantize_int8": X.embeddings_quantize_int8,
         # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -194,6 +196,8 @@ def build_oracle_sql() -> dict[str, str]:
         "image_decode_stats": P.sql_image_decode_stats(),
         "audio_decode_stats": P.sql_audio_decode_stats(),
         "video_frame_sample_stats": P.sql_video_frame_sample_stats(),
+        "docs_stratified_sample": S.SQL_DOCS_STRATIFIED_SAMPLE,
+        "embeddings_quantize_int8": S.SQL_EMBEDDINGS_QUANTIZE_INT8,
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

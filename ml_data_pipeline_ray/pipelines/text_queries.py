@@ -411,6 +411,31 @@ def docs_sample_k(sf_dir: str) -> pd.DataFrame:
     return sample_k_deterministic(ds, k=100)
 
 
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified fixed-k sample: 20 docs per source domain, smallest-k
+    Knuth-hash within each stratum via the map-side-pruned grouped top-k
+    (at most k rows per group per block leave the scan). Oracle:
+    row_number() OVER (PARTITION BY source ORDER BY the same hash) <= k."""
+    from ..stages.sampling import stratified_sample_k
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "n_chars"])
+    return stratified_sample_k(ds, k=20)
+
+
+def embeddings_quantize_int8(sf_dir: str) -> pd.DataFrame:
+    """Int8 embedding quantization with exact integer witnesses: per
+    label, sums of codes / |codes| / scales / reconstruction-error
+    numerators — all-integer arithmetic on a floor(x*1024) grid with
+    non-negative divisions, so the SQL oracle (UNNEST + window max)
+    reproduces every code bit-for-bit. Shuffle-free map-side partials."""
+    from ..stages.quantize import quantization_stats
+
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["label", "embedding"])
+    return quantization_stats(ds)
+
+
 def embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
     """Supervised class prototypes (the labeled sibling of k-means): per
     label, count + snapped mean embedding under the bit-exact determinism

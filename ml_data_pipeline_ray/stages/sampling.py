@@ -95,3 +95,36 @@ def sample_k_deterministic(ds: rd.Dataset, k: int, id_col: str = "doc_id"
                             zero_copy_batch=True)
     out = topk(tagged, by=["_h", id_col], k=k, descending=False)
     return out.drop(columns=["_h"]).reset_index(drop=True)
+
+
+def stratified_sample_k(ds: rd.Dataset, k: int, group_col: str = "source",
+                        id_col: str = "doc_id") -> "pd.DataFrame":
+    """Fixed-size-PER-GROUP deterministic uniform sample (stratified
+    sampling — cap every domain at k docs, the standard corpus-balancing
+    primitive): within each ``group_col`` value, the k rows with the
+    smallest Knuth hash of their id. Deterministic, RNG-free,
+    SQL-mirrorable (``row_number() OVER (PARTITION BY group ORDER BY
+    hash, id) <= k``). Distributed as the map-side-pruned grouped top-k:
+    at most ``k × groups-per-block`` rows leave each block, so input-sized
+    data never concentrates anywhere. Same id < 2^31 precondition as
+    :func:`sample_k_deterministic` (enforced loudly)."""
+    import pandas as pd  # noqa: F401  (return type)
+
+    from .topk import grouped_topk
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError(
+                f"stratified_sample_k requires 0 <= {id_col} < 2^31 "
+                f"(got range [{ids.min()}, {ids.max()}]); the Knuth-hash "
+                "int64 arithmetic must match the oracle's BIGINT exactly")
+        h = (ids * KNUTH) % _MOD
+        return batch.append_column("_h", pa.array(h.astype(np.int64)))
+
+    tagged = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_topk(tagged, group=group_col, by=["_h", id_col], k=k,
+                       descending=False)
+    return out.drop(columns=["_h"]).reset_index(drop=True)

@@ -537,3 +537,82 @@ def test_salted_join_equals_plain_join_under_skew(ray_session):
               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(plain[["k", "v", "w"]],
                                   salted[["k", "v", "w"]])
+
+
+def test_stratified_sample_k_matches_bruteforce_and_parallelism(ray_session):
+    """Per-group fixed-k sample equals the pandas brute force (same hash
+    order) and is invariant to block layout."""
+    from ml_data_pipeline_ray.stages.sampling import (KNUTH, _MOD,
+                                                      stratified_sample_k)
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "source": rng.choice(["web", "code", "wiki", "rare"],
+                             500, p=[0.6, 0.25, 0.13, 0.02]),
+        "n_chars": rng.integers(10, 1000, 500),
+    })
+    want = (df.assign(_h=(df.doc_id * KNUTH) % _MOD)
+            .sort_values(["_h", "doc_id"])
+            .groupby("source", sort=False).head(7)
+            .drop(columns="_h")
+            .sort_values("doc_id").reset_index(drop=True))
+    for parts in (1, 8):
+        out = stratified_sample_k(rd.from_pandas(df).repartition(parts),
+                                  k=7, group_col="source")
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["doc_id", "source", "n_chars"]],
+                                      want[["doc_id", "source", "n_chars"]])
+    # every stratum capped at min(k, group size)
+    sizes = out.groupby("source").size()
+    full = df.groupby("source").size()
+    for s in full.index:
+        assert sizes[s] == min(7, full[s])
+
+
+def test_quantize_int8_codes_and_error_bounds(ray_session):
+    """Codes live in [-127,127], the max-|grid| component always maps to
+    ±127, zero vectors map to zero codes, and the exact error witness
+    round-trips the distributed grouped reduction."""
+    from ml_data_pipeline_ray.stages.quantize import (GRID, QMAX,
+                                                      quantization_stats,
+                                                      quantize_int8)
+
+    rng = np.random.default_rng(3)
+    n, dim = 64, 16
+    x = (rng.normal(0, 1, (n, dim)) * rng.uniform(0.1, 4, (n, 1))
+         ).astype(np.float32)
+    x[5] = 0.0                                    # zero vector
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "label": pa.array((np.arange(n) % 3).astype(np.int32)),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+    })
+    qt = quantize_int8(t)
+    q = np.array(qt["q"].to_pylist(), dtype=np.int64)
+    s = qt["scale"].to_numpy()
+    g = np.floor(x.astype(np.float64) * GRID).astype(np.int64)
+    assert (np.abs(q) <= QMAX).all()
+    nz = s > 0
+    assert (np.abs(q[nz]).max(axis=1) == QMAX).all()
+    assert (q[~nz] == 0).all()
+    # exact witness: err = |127*g - q*s|
+    err = np.abs(QMAX * g - q * s[:, None]).sum(axis=1)
+    assert (qt["err_sum"].to_numpy() == err).all()
+    # reconstruction: per component, error <= one quantization step
+    # (s/(127*1024)) + one grid cell (1/1024)
+    deq = q * s[:, None] / (QMAX * GRID)
+    bound = s[nz, None] / (QMAX * GRID) + 1.0 / GRID + 1e-9
+    assert (np.abs(x[nz] - deq[nz]) <= bound).all()
+    # distributed grouped stats equal the local ones at any block layout
+    local = pd.DataFrame({
+        "label": (np.arange(n) % 3).astype(np.int64),
+        "q": q.sum(axis=1), "aq": np.abs(q).sum(axis=1),
+        "s": s, "e": err,
+    }).groupby("label").agg(n=("q", "size"), sum_q=("q", "sum"),
+                            sum_abs_q=("aq", "sum"), sum_scale=("s", "sum"),
+                            sum_err=("e", "sum")).reset_index()
+    for parts in (1, 6):
+        got = quantization_stats(rd.from_arrow(t).repartition(parts))
+        pd.testing.assert_frame_equal(
+            got, local.astype(np.int64), check_dtype=False)
