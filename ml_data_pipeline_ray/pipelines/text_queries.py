@@ -151,7 +151,8 @@ def docs_vocab_topk(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
     partial = ds.map_batches(T.token_count_partial, batch_format="pyarrow",
                              zero_copy_batch=True)
-    agg = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    from ..stages.groupagg import grouped_agg
+    agg = grouped_agg(partial, keys=["token"], aggs=[("n", "sum", "n")])
     return topk(agg, by=["n", "token"], k=50,
                 descending=[True, False]).reset_index(drop=True)
 

@@ -176,11 +176,13 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     # group by the key alone (narrower sort); o_orderdate / o_orderpriority
     # are functionally dependent on l_orderkey, so Max() carries them exactly
-    agg = (joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("l_orderkey")
-           .aggregate(Sum("revenue", alias_name="revenue"),
-                      Max("o_orderdate", alias_name="o_orderdate"),
-                      Max("o_orderpriority", alias_name="o_orderpriority")))
+    from ..stages.groupagg import grouped_agg
+    agg = grouped_agg(
+        joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        aggs=[("revenue", "sum", "revenue"),
+              ("o_orderdate", "max", "o_orderdate"),
+              ("o_orderpriority", "max", "o_orderpriority")])
     # stabilize BEFORE top-k so the rank-10 cut is on exact decimals, with a
     # deterministic orderkey tiebreak matching the oracle's ORDER BY
     from ..stages.topk import topk
@@ -407,9 +409,10 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_type", "value"],
                          filter=pc.field("event_type") == "purchase")
-    out = (ds.groupby("user_id")
-           .aggregate(Count(alias_name="n_purchases"),
-                      Sum("value", alias_name="total_value"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["user_id"],
+                      aggs=[("user_id", "count", "n_purchases"),
+                            ("value", "sum", "total_value")]).to_pandas()
     return _round(_stab(out, {"total_value": 2}), {"total_value": 2})
 
 
@@ -656,9 +659,10 @@ def events_rolling_3h(sf_dir: str) -> pd.DataFrame:
                          "hour": pc.floor_temporal(b["ts"], unit="hour"),
                          "value": b["value"]})
 
-    agg = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["event_type", "hour"])
-           .aggregate(Sum("value", alias_name="sv")))
+    from ..stages.groupagg import grouped_agg
+    agg = grouped_agg(
+        ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "hour"], aggs=[("value", "sum", "sv")])
     agg = agg.map_batches(lambda d: _stab(d, {"sv": 2}), batch_format="pandas")
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
@@ -735,9 +739,10 @@ def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
                                "l_extendedprice", "l_discount"])
     long = unpivot(ds, ["l_returnflag"],
                    ["l_quantity", "l_extendedprice", "l_discount"])
-    out = (long.groupby(["l_returnflag", "metric"])
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(long, keys=["l_returnflag", "metric"],
+                      aggs=[("metric", "count", "n"),
+                            ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
@@ -761,10 +766,11 @@ def lineitem_above_p95(sf_dir: str) -> pd.DataFrame:
     flt = read_parquet(_t(sf_dir, "lineitem"),
                        columns=["l_returnflag", "l_extendedprice"],
                        filter=pc.field("l_extendedprice") > p95)
-    out = (flt.groupby("l_returnflag")
-           .aggregate(Count(alias_name="n_above"),
-                      Sum("l_extendedprice", alias_name="sum_price"))
-           ).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(flt, keys=["l_returnflag"],
+                      aggs=[("l_returnflag", "count", "n_above"),
+                            ("l_extendedprice", "sum", "sum_price")]
+                      ).to_pandas()
     return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})
 
 

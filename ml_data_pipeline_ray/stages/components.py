@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from .joins import hash_join
 
@@ -72,9 +72,12 @@ def connected_components(edges: rd.Dataset, src: str = "id_a",
             pa.table({"id": b.column("id"), "comp": b.column("id")}),
         ])
 
-    labels = _sever(e.map_batches(self_and_nbr, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-                    .groupby("id").aggregate(Min("comp", alias_name="comp")))
+    from .groupagg import grouped_agg
+
+    labels = _sever(grouped_agg(
+        e.map_batches(self_and_nbr, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        keys=["id"], aggs=[("comp", "min", "comp")]))
 
     def tag_old(b: pa.Table) -> pa.Table:
         return pa.table({"id": b.column("id"), "comp": b.column("comp"),
@@ -102,9 +105,9 @@ def connected_components(edges: rd.Dataset, src: str = "id_a",
                                           zero_copy_batch=True)))
         # repartition to the bucket count (union+groupby double the block
         # count every round otherwise) and SEVER the plan (see _sever)
-        mid = _sever(cand.groupby("id")
-                     .aggregate(Min("comp", alias_name="comp"),
-                                Max("old", alias_name="old"))
+        mid = _sever(grouped_agg(cand, keys=["id"],
+                                 aggs=[("comp", "min", "comp"),
+                                       ("old", "max", "old")])
                      .repartition(nb))
         # pointer jump: comp ← comp(comp). Every label IS a node id with its
         # own label row, so the self-join is total; jumping doubles the

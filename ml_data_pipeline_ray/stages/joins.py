@@ -545,13 +545,19 @@ def _estimate_input_bytes(ds: rd.Dataset) -> int | None:
 
 
 def _choose_num_buckets(est_bytes: int | None, cpus: int) -> int:
-    """Bytes-per-bucket target with a 3x-cores floor: enough groups to keep
-    every core busy, and no group larger than ~_TARGET_BUCKET_BYTES in
-    memory (the per-group memory bound of the bucketed join)."""
+    """Bytes-per-bucket target with a 3x-cores floor and a tiny-input cap:
+    enough groups to keep every core busy, no group larger than
+    ~_TARGET_BUCKET_BYTES in memory (the per-group memory bound of the
+    bucketed join), and never a bucket smaller than ~1 MiB — below that
+    per-group task overhead dominates useful work (measured: a 1.5 MB
+    aggregate-view join fanned into 96 single-millisecond groups cost
+    ~10 s of scheduling for ~50 ms of join)."""
     floor = max(16, 3 * cpus)
     if not est_bytes:
         return floor
-    return max(floor, -(-est_bytes // _TARGET_BUCKET_BYTES))
+    cap = max(1, est_bytes // (1 << 20))        # ≥ ~1 MiB per bucket
+    return min(max(floor, -(-est_bytes // _TARGET_BUCKET_BYTES)), cap) \
+        if cap < floor else max(floor, -(-est_bytes // _TARGET_BUCKET_BYTES))
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],

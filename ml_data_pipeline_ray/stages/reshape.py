@@ -7,7 +7,7 @@ The reference's transform surface is row-preserving maps + filters
 Ray-Data-first:
 
 - :func:`pivot_counts` — ONE ``groupby`` shuffle; the per-batch map emits one
-  indicator/partial-sum column per pivot value, so Ray's ``Sum`` aggregate
+  indicator/partial-sum column per pivot value, so one grouped sum
   map-side-combines before the exchange (shuffle bytes ~ groups × values,
   not input rows). Pivot values must be supplied (or discovered with a
   distinct pass by the caller) — the output schema of a distributed pivot
@@ -30,7 +30,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 
 def pivot_counts(ds: rd.Dataset, group_col: str, pivot_col: str,
@@ -53,12 +52,14 @@ def pivot_counts(ds: rd.Dataset, group_col: str, pivot_col: str,
                     pa.scalar(0.0, pa.float64()))
         return pa.table(cols)
 
-    aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in values]
+    from .groupagg import grouped_agg
+
+    aggs = [(f"n_{v}", "sum", f"n_{v}") for v in values]
     if value_col is not None:
-        aggs += [Sum(f"sum_{v}", alias_name=f"sum_{v}") for v in values]
-    return (ds.map_batches(indicators, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(group_col).aggregate(*aggs))
+        aggs += [(f"sum_{v}", "sum", f"sum_{v}") for v in values]
+    return grouped_agg(ds.map_batches(indicators, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       keys=[group_col], aggs=aggs)
 
 
 def unpivot(ds: rd.Dataset, id_cols: list[str], measures: list[str],

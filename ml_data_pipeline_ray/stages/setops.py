@@ -12,7 +12,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Max, Min
 
 
 def _tag(side: int, cols: list[str]):
@@ -30,10 +29,12 @@ def presence_aggregate(a: rd.Dataset, b: rd.Dataset,
     serves every set op (intersect = saw both sides, except = only side a);
     callers needing several ops should ``materialize()`` the (tiny) result
     and slice it rather than re-aggregating."""
+    from .groupagg import grouped_agg
+
     both = a.map_batches(_tag(0, cols), batch_format="pyarrow").union(
         b.map_batches(_tag(1, cols), batch_format="pyarrow"))
-    return both.groupby(cols).aggregate(Min("_side", alias_name="_mn"),
-                                        Max("_side", alias_name="_mx"))
+    return grouped_agg(both, keys=cols, aggs=[("_side", "min", "_mn"),
+                                              ("_side", "max", "_mx")])
 
 
 def presence_aggregate_tagged(ds: rd.Dataset, cols: list[str],
@@ -57,9 +58,11 @@ def presence_aggregate_tagged(ds: rd.Dataset, cols: list[str],
         return batch.select([*cols, "_side"]).group_by(
             [*cols, "_side"]).aggregate([])
 
+    from .groupagg import grouped_agg
+
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    return tagged.groupby(cols).aggregate(Min("_side", alias_name="_mn"),
-                                          Max("_side", alias_name="_mx"))
+    return grouped_agg(tagged, keys=cols, aggs=[("_side", "min", "_mn"),
+                                                ("_side", "max", "_mx")])
 
 
 def select_setop(agg: rd.Dataset, cols: list[str], anti: bool) -> rd.Dataset:

@@ -259,12 +259,13 @@ def build_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Distributed document frequency: per-batch distinct partials → ONE
     groupby(word) Sum → the (vocab-sized) df table plus the total doc
     count. Returns ``(df_words, df_counts, n_docs)`` ready to broadcast."""
-    from ray.data.aggregate import Sum
+    from .groupagg import grouped_agg
 
-    agg = (ds.map_batches(doc_freq_partial, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          fn_kwargs={"text_col": text_col})
-           .groupby("word").aggregate(Sum("df", alias_name="df")))
+    agg = grouped_agg(
+        ds.map_batches(doc_freq_partial, batch_format="pyarrow",
+                       zero_copy_batch=True,
+                       fn_kwargs={"text_col": text_col}),
+        keys=["word"], aggs=[("df", "sum", "df")])
     tbl = pa.concat_tables([t for t in _collect_refs(agg) if t.num_rows],
                            promote_options="permissive")
     n_docs = ds.count()

@@ -616,3 +616,51 @@ def test_quantize_int8_codes_and_error_bounds(ray_session):
         got = quantization_stats(rd.from_arrow(t).repartition(parts))
         pd.testing.assert_frame_equal(
             got, local.astype(np.int64), check_dtype=False)
+
+
+def test_grouped_agg_matches_pandas_all_fns(ray_session):
+    """Arrow-native grouped_agg == pandas groupby for every supported fn,
+    across key types (string, int, timestamp), null values, and block
+    layouts."""
+    from ml_data_pipeline_ray.stages.groupagg import grouped_agg
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.choice(["a", "b", "c", "dd"], n),
+        "k2": rng.integers(0, 500, n),           # 500 int keys
+        "ts": pd.to_datetime(rng.integers(0, 4, n), unit="h"),
+        "v": rng.normal(0, 10, n),
+        "m": rng.integers(-100, 100, n),
+    })
+    df.loc[rng.choice(n, 200, replace=False), "v"] = np.nan
+
+    # min_count=1: SQL (and Arrow) SUM over an all-NULL group is NULL,
+    # pandas' default is 0.0 — the engine follows SQL semantics
+    want = (df.groupby(["k1", "k2"])
+            .agg(sv=("v", lambda s: s.sum(min_count=1)),
+                 nv=("v", "count"), mn=("m", "min"),
+                 mx=("m", "max"), av=("v", "mean"), nr=("k1", "size"))
+            .reset_index())
+    for parts in (1, 7):
+        got = grouped_agg(
+            rd.from_pandas(df).repartition(parts),
+            keys=["k1", "k2"],
+            aggs=[("v", "sum", "sv"), ("v", "count", "nv"),
+                  ("m", "min", "mn"), ("m", "max", "mx"),
+                  ("v", "mean", "av"), ("k1", "count", "nr")],
+        ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        w = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+        assert (got["nv"].to_numpy() == w["nv"].to_numpy()).all()
+        assert (got["nr"].to_numpy() == w["nr"].to_numpy()).all()
+        assert (got["mn"].to_numpy() == w["mn"].to_numpy()).all()
+        assert (got["mx"].to_numpy() == w["mx"].to_numpy()).all()
+        assert np.allclose(got["sv"], w["sv"], equal_nan=True)
+        assert np.allclose(got["av"], w["av"], equal_nan=True)
+    # timestamp group key hashes + round-trips
+    got_ts = grouped_agg(rd.from_pandas(df).repartition(5), keys=["ts"],
+                         aggs=[("m", "sum", "sm")]).to_pandas()
+    want_ts = df.groupby("ts").agg(sm=("m", "sum")).reset_index()
+    got_ts = got_ts.sort_values("ts").reset_index(drop=True)
+    want_ts = want_ts.sort_values("ts").reset_index(drop=True)
+    assert (got_ts["sm"].to_numpy() == want_ts["sm"].to_numpy()).all()

@@ -291,10 +291,17 @@ def test_hash_join_bucket_count_is_data_size_aware():
     cpus = 32
     floor = 3 * cpus
     assert _choose_num_buckets(None, cpus) == floor
-    assert _choose_num_buckets(1 << 20, cpus) == floor
+    # tiny-input cap: never a bucket smaller than ~1 MiB (per-group task
+    # overhead otherwise dominates — measured 10 s of scheduling for a
+    # 1.5 MB join at the bare floor)
+    assert _choose_num_buckets(1 << 20, cpus) == 1
+    assert _choose_num_buckets(8 << 20, cpus) == 8
+    # at >= floor MiB the parallelism floor takes over
+    assert _choose_num_buckets(floor << 20, cpus) == floor
+    assert _choose_num_buckets(1 << 30, cpus) == floor
     # 1 TiB in-memory -> 2048 buckets of 512 MiB, far above the floor
     assert _choose_num_buckets(1 << 40, cpus) == (1 << 40) // _TARGET_BUCKET_BYTES
     # monotone in input size
-    sizes = [1 << 30, 1 << 35, 1 << 40, 1 << 45]
+    sizes = [1 << 20, 1 << 25, 1 << 30, 1 << 35, 1 << 40, 1 << 45]
     counts = [_choose_num_buckets(s, cpus) for s in sizes]
     assert counts == sorted(counts) and counts[-1] > counts[0]
