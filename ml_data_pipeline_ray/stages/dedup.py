@@ -361,18 +361,17 @@ def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
     distinct exchange of the (narrow) pair rows — the same pair surfaces
     from several bands (and therefore several shards), so dedup needs an
     exchange here."""
-    from ray.data.aggregate import Count
-
     cand = _candidate_pairs_raw(ds, id_col, text_col, k, num_hashes,
                                 num_bands, concurrency)
 
     def drop_count(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
 
-    distinct = (cand.groupby(["id_a", "id_b"])
-                .aggregate(Count(alias_name="_c"))
-                .map_batches(drop_count, batch_format="pyarrow",
-                             zero_copy_batch=True))
+    from .groupagg import grouped_agg
+
+    distinct = grouped_agg(
+        cand, keys=["id_a", "id_b"], aggs=[("id_a", "count", "_c")]
+    ).map_batches(drop_count, batch_format="pyarrow", zero_copy_batch=True)
     return distinct.materialize()
 
 
