@@ -512,6 +512,17 @@ FROM events GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
 """
 
 
+SQL_EVENTS_CUBE = """
+SELECT event_type, CAST(dow AS DOUBLE) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
 SQL_DOCS_TERM_SCRUB = r"""
 SELECT doc_id,
        regexp_replace(text, '\b(customer|spark)\b', '[X]', 'g') AS text,

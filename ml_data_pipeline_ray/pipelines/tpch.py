@@ -388,6 +388,46 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "hour", "n_events"]]
 
 
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (the ROLLUP sibling, P5 family): counts + exact
+    integer-cents sums over the 4 grouping sets of (event_type, iso
+    weekday). All input-sized work happens ONCE in the finest-grain
+    distributed aggregate; the other three levels re-aggregate the tiny
+    result on the driver — the scale-correct cube shape (never N shuffles
+    for N grouping sets). Cents via sign*floor(|v|*100+0.5), the module's
+    half-away-from-zero contract matching the oracle's round(v*100)."""
+    from ..stages.groupagg import grouped_agg
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64())
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                 ).astype(np.int64)
+        return pa.table({"event_type": b["event_type"], "dow": dow,
+                         "cents": pa.array(cents)})
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "dow"],
+        aggs=[("event_type", "count", "n"),
+              ("cents", "sum", "sum_cents")]).to_pandas()
+    by_type = (fine.groupby("event_type", as_index=False)
+               [["n", "sum_cents"]].sum().assign(dow=np.nan))
+    by_dow = (fine.groupby("dow", as_index=False)
+              [["n", "sum_cents"]].sum().assign(event_type=None))
+    total = pd.DataFrame([{"event_type": None, "dow": np.nan,
+                           "n": fine["n"].sum(),
+                           "sum_cents": fine["sum_cents"].sum()}])
+    out = pd.concat([fine, by_type, by_dow, total], ignore_index=True)
+    out["dow"] = out["dow"].astype(np.float64)
+    for c in ("n", "sum_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "dow", "n", "sum_cents"]]
+
+
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: per user, count sessions split at >30 min gaps.
     Implemented as groupby(user).map_groups over ts-sorted groups (the
