@@ -523,6 +523,14 @@ GROUP BY CUBE (event_type, dow)
 """
 
 
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(DISTINCT user_id) AS BIGINT) AS sum_user_ids
+FROM events GROUP BY event_type
+"""
+
+
 SQL_DOCS_TERM_SCRUB = r"""
 SELECT doc_id,
        regexp_replace(text, '\b(customer|spark)\b', '[X]', 'g') AS text,

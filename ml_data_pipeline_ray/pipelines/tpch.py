@@ -752,6 +752,31 @@ def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"event_type": vals})
 
 
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT(DISTINCT): distinct users (and exact user-id
+    sum as an integer witness) per event type. Two chained Arrow-native
+    grouped aggregates: pass 1 dedups (type, user) pairs — per-block
+    ``Table.group_by`` means only distinct pairs per block enter its
+    shard exchange — pass 2 counts the (already tiny) distinct rows per
+    type. The scale shape for exact distinct counting: nothing larger
+    than the distinct-pair set ever moves, and the approximate sibling
+    (HyperLogLog, `events_approx_distinct`) handles cardinalities where
+    even that is too big."""
+    from ..stages.groupagg import grouped_agg
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "user_id"])
+    pairs = grouped_agg(ds, keys=["event_type", "user_id"],
+                        aggs=[("user_id", "count", "_c")])
+    out = grouped_agg(pairs, keys=["event_type"],
+                      aggs=[("user_id", "count", "n_users"),
+                            ("user_id", "sum", "sum_user_ids")]
+                      ).to_pandas()
+    for c in ("n_users", "sum_user_ids"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "n_users", "sum_user_ids"]]
+
+
 def events_pivot_types(sf_dir: str) -> pd.DataFrame:
     """Pivot (long→wide): per user, one count column per event_type plus a
     per-type value sum — ONE groupby shuffle over map-side indicator
