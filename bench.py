@@ -64,7 +64,7 @@ QUERY_SUITE = [
     "image_decode_stats", "csv_quote_roundtrip",
     "audio_decode_stats", "video_frame_sample_stats",
     "docs_stratified_sample", "embeddings_quantize_int8", "events_cube",
-    "events_distinct_users",
+    "events_distinct_users", "multimodal_curation",
 ]
 
 

@@ -615,6 +615,90 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _multimodal_mix_path() -> str:
+    """Combined mixed-media fixture: PNG + WAV + Y4M blobs in ONE binary
+    column with encode-time ``modality`` + per-item exact integer
+    ``true_witness`` (image: pixel sum; audio: |sample| sum; video: luma
+    sum) for the SQL oracle."""
+    from ..stages.multimodal import (make_png_fixture, make_wav_fixture,
+                                     make_y4m_fixture)
+
+    d = _scratch("mmcur", "global")
+    path = os.path.join(d, "mixed.parquet")
+    if not os.path.exists(path):
+        png = make_png_fixture(n=48, seed=7)
+        wav = make_wav_fixture(n=48, seed=7)
+        y4m = make_y4m_fixture(n=48, seed=7)
+        ids = pa.array(np.arange(144, dtype=np.int64))
+        modality = pa.array(["image"] * 48 + ["audio"] * 48 + ["video"] * 48)
+        data = pa.concat_arrays([
+            png["data"].combine_chunks(), wav["data"].combine_chunks(),
+            y4m["data"].combine_chunks()])
+        witness = pa.concat_arrays([
+            png["true_px_sum"].combine_chunks(),
+            wav["true_abs_sum"].combine_chunks(),
+            y4m["true_y_sum_all"].combine_chunks()])
+        pq.write_table(pa.table({"item_id": ids, "modality": modality,
+                                 "data": data, "true_witness": witness}),
+                       path)
+    return path
+
+
+def multimodal_curation(sf_dir: str) -> pd.DataFrame:
+    """Flagship multimodal pipeline: ONE mixed binary table (PNG images +
+    WAV audio + Y4M video interleaved) → vectorized magic-byte sniff →
+    the sniffed format ROUTES each blob to its real spec-based decoder in
+    an actor pool → each decoder recomputes an exact integer witness from
+    the decoded payload (pixels / PCM samples / luma planes) → union →
+    grouped aggregate per modality. The modality column is NOT read by
+    the Ray side — routing is pure sniff — so a mis-sniffed magic, a
+    wrong route, or any decode bug changes the hash vs encode-time
+    truth."""
+    from ..stages.multimodal import (AudioDecoder, ImageDecoder,
+                                     VideoDecoder, sniff_format)
+
+    ds = read_parquet(_multimodal_mix_path(), columns=["item_id", "data"])
+    sniffed = ds.map_batches(sniff_format, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def branch(fmt: str, decoder_cls, witness_col: str, modality: str):
+        sub = sniffed.filter(expr=f"format == '{fmt}'")
+        # autoscaling pools (min 1): the union runs all three decode
+        # branches concurrently, and three FIXED 2-actor pools would need
+        # 6 CPUs — a deadlock on a small (4-cpu test) cluster
+        dec = sub.map_batches(decoder_cls, batch_format="pyarrow",
+                              concurrency=(1, 2), batch_size=32)
+
+        def pick(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "modality": pa.array([modality] * b.num_rows),
+                "witness": b.column(witness_col).cast(pa.int64()),
+            })
+
+        return dec.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    merged = (branch("png", ImageDecoder, "px_sum", "image")
+              .union(branch("wav", AudioDecoder, "abs_sum", "audio"))
+              .union(branch("y4m", VideoDecoder, "y_sum", "video")))
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(merged, keys=["modality"],
+                      aggs=[("modality", "count", "n"),
+                            ("witness", "sum", "sum_witness")]).to_pandas()
+    for c in ("n", "sum_witness"):
+        out[c] = out[c].astype(np.int64)
+    return out[["modality", "n", "sum_witness"]]
+
+
+def sql_multimodal_curation() -> str:
+    path = _multimodal_mix_path()
+    return f"""
+SELECT modality, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_witness) AS BIGINT) AS sum_witness
+FROM read_parquet('{path}') GROUP BY modality
+"""
+
+
 def _wav_fixture_path() -> str:
     from ..stages.multimodal import make_wav_fixture
 

@@ -61,6 +61,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize_int8": X.embeddings_quantize_int8,
         "events_cube": Q.events_cube,
         "events_distinct_users": Q.events_distinct_users,
+        "multimodal_curation": P.multimodal_curation,
         # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -202,6 +203,7 @@ def build_oracle_sql() -> dict[str, str]:
         "embeddings_quantize_int8": S.SQL_EMBEDDINGS_QUANTIZE_INT8,
         "events_cube": S.SQL_EVENTS_CUBE,
         "events_distinct_users": S.SQL_EVENTS_DISTINCT_USERS,
+        "multimodal_curation": P.sql_multimodal_curation(),
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

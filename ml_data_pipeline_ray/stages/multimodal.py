@@ -51,7 +51,8 @@ IMAGE_MAGIC = [
     (b"BM", "bmp"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
-    (b"RIFF", "webp_or_wav"),
+    (b"RIFF", "webp_or_wav"),        # disambiguated by bytes 8-12 below
+    (b"YUV4MPEG2", "y4m"),
 ]
 
 
@@ -72,6 +73,15 @@ def sniff_format(batch: pa.Table, data_col: str = "data") -> pa.Table:
                            False)
         unset = pc.equal(fmt, "unknown")
         fmt = pc.if_else(pc.and_(hit, unset), pa.scalar(name, pa.string()), fmt)
+    # RIFF containers: bytes 8-12 name the payload (WAVE vs WEBP)
+    riff = pc.equal(fmt, "webp_or_wav")
+    if pc.any(riff).as_py():
+        tag = pc.binary_slice(col, 8, 12)
+        is_wav = pc.fill_null(pc.equal(tag, pa.scalar(b"WAVE", pa.binary())),
+                              False)
+        fmt = pc.if_else(pc.and_(riff, is_wav), pa.scalar("wav", pa.string()),
+                         pc.if_else(riff, pa.scalar("webp", pa.string()),
+                                    fmt))
     return batch.append_column("format", fmt)
 
 

@@ -208,6 +208,15 @@ def test_multimodal_sniff_and_fake_decode():
     out = sniff_format(t)
     fmts = set(out["format"].to_pylist())
     assert fmts == {"jpeg", "png", "gif", "bmp"}
+    # RIFF disambiguation (WAVE vs WEBP) + y4m magic
+    extra = pa.table({"data": pa.array([
+        b"RIFF\x10\x00\x00\x00WAVEfmt junk",
+        b"RIFF\x10\x00\x00\x00WEBPVP8 junk",
+        b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + b"\x00" * 24,
+        b"RIFF",                                 # truncated container
+    ], pa.binary())})
+    got = sniff_format(extra)["format"].to_pylist()
+    assert got == ["wav", "webp", "y4m", "webp"]
     dec = ImageDecoder(fake=True)
     feat = dec(out)
     assert feat["features"].type == pa.list_(pa.float64())
