@@ -96,20 +96,20 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
         return t.append_column(
             "_gb", pa.array((h % np.uint64(shards)).astype(np.int32)))
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        t = pa.Table.from_pandas(df.drop(columns=["_gb"]),
-                                 preserve_index=False)
-        comb_aggs = [(tmp, cfn) for _, _, tmp, cfn in plan]
-        agged = t.group_by(keys).aggregate(comb_aggs)
+    def combine(t: pa.Table) -> pa.Table:
+        # pure Arrow — a pandas round-trip here would coerce nullable
+        # int64 partials (all-NULL-group sums) to float64
+        agged = t.drop_columns(["_gb"]).group_by(keys).aggregate(
+            [(tmp, cfn) for _, _, tmp, cfn in plan])
         cols = {k: agged[k] for k in keys}
         for _, _, tmp, cfn in plan:
             cols[tmp] = agged[f"{tmp}_{cfn}"]
-        return pa.table(cols).to_pandas()
+        return pa.table(cols)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     combined = parts.groupby("_gb").map_groups(combine,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {k: batch[k] for k in keys}
