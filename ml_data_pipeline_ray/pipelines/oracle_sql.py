@@ -443,6 +443,20 @@ WHERE rn <= 10
 """
 
 
+SQL_ANN_TOPK_FILTERED = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10)
+SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid AND e.label = 1)
+WHERE rn <= 10
+"""
+
+
 def sql_cdc_time_travel(scale: str = DRIVER_SCALE) -> str:
     # the same LWW window query, restricted to the first transaction's LSN
     # range: lsn <= (min+max)//2 computed from the same files
@@ -520,6 +534,15 @@ FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events)
 GROUP BY CUBE (event_type, dow)
+"""
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST((CAST(round(value * 100) AS BIGINT) + 1000000) // 500 AS BIGINT)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """
 
 

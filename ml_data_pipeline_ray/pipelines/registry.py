@@ -62,6 +62,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": Q.events_cube,
         "events_distinct_users": Q.events_distinct_users,
         "multimodal_curation": P.multimodal_curation,
+        "ann_topk_filtered": X.ann_topk_filtered,
+        "events_value_histogram": Q.events_value_histogram,
         # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -204,6 +206,8 @@ def build_oracle_sql() -> dict[str, str]:
         "events_cube": S.SQL_EVENTS_CUBE,
         "events_distinct_users": S.SQL_EVENTS_DISTINCT_USERS,
         "multimodal_curation": P.sql_multimodal_curation(),
+        "ann_topk_filtered": S.SQL_ANN_TOPK_FILTERED,
+        "events_value_histogram": S.SQL_EVENTS_VALUE_HISTOGRAM,
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

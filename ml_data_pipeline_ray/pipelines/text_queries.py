@@ -254,6 +254,20 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     return brute_force_topk(ds, ids, m, k=10)
 
 
+def ann_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered vector search (the filtered-ANN shape every
+    retrieval stack needs): top-10 cosine neighbors restricted to
+    ``label = 1`` vectors. The predicate is pushed to the parquet scan —
+    non-matching vectors never leave storage — then the same broadcast
+    query matrix + per-batch matmul + map-side-pruned top-k as
+    :func:`ann_topk`."""
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filter=pc.field("label") == 1)
+    ids, m = _queries(sf_dir)
+    return brute_force_topk(ds, ids, m, k=10)
+
+
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN (approximate — rows-only check; recall vs brute
     force is asserted in tests)."""

@@ -777,6 +777,21 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "n_users", "sum_user_ids"]]
 
 
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact fixed-width histogram of event values per type (profiling
+    shape): integer-cents buckets of width 5.00, offset-shifted so the
+    floor/truncate division families agree. One Arrow-native grouped
+    count; shuffle bytes ~ types × occupied buckets."""
+    from ..stages.quantiles import fixed_width_histogram
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "value"])
+    out = fixed_width_histogram(ds, "value", ["event_type"]).to_pandas()
+    for c in ("bucket", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "bucket", "n"]]
+
+
 def events_pivot_types(sf_dir: str) -> pd.DataFrame:
     """Pivot (long→wide): per user, one count column per event_type plus a
     per-type value sum — ONE groupby shuffle over map-side indicator

@@ -220,3 +220,44 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
             res[gi] = pval[lo + int(np.searchsorted(cum, need))]
         out[f"p{int(round(q * 100))}"] = res
     return pd.DataFrame(out)
+
+
+def fixed_width_histogram(ds, value_col: str, group_cols: list[str],
+                          width_cents: int = 500,
+                          offset_cents: int = 1_000_000):
+    """Exact fixed-width value histogram per group (the data-profiling
+    sibling of the quantile passes): 2-decimal values become integer
+    cents via the module-wide half-away-from-zero contract
+    (``sign*floor(|v|*100+0.5)`` == SQL ``round(v*100)``), then
+    ``bucket = (cents + offset) // width`` — the offset keeps the
+    numerator NON-NEGATIVE so numpy's floor division and SQL's
+    truncating ``//`` agree bit-for-bit. One Arrow-native grouped count;
+    shuffle bytes ~ groups × occupied buckets. Values with
+    ``|cents| >= offset`` fail loudly rather than diverging from the
+    oracle."""
+    import pyarrow as pa
+
+    from .groupagg import grouped_agg
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                 ).astype(np.int64)
+        if cents.size and np.abs(cents).max() >= offset_cents:
+            raise ValueError(
+                f"fixed_width_histogram: |{value_col}*100| exceeds the "
+                f"offset {offset_cents}; raise offset_cents to keep the "
+                "bucket numerator non-negative (SQL // truncates while "
+                "numpy // floors — they only agree on non-negatives)")
+        bucket = (cents + offset_cents) // width_cents
+        cols = {c: b.column(c) for c in group_cols}
+        cols["bucket"] = pa.array(bucket)
+        return pa.table(cols)
+
+    hist = grouped_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[*group_cols, "bucket"],
+        aggs=[("bucket", "count", "n")])
+    return hist
