@@ -356,10 +356,12 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     def hour(b: pa.Table) -> pa.Table:
         return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
 
-    out = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["event_type", "hour"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(
+        ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "hour"],
+        aggs=[("event_type", "count", "n_events"),
+              ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
@@ -375,9 +377,11 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     def hour(b: pa.Table) -> pa.Table:
         return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
 
-    fine = (ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["event_type", "hour"])
-            .aggregate(Count(alias_name="n_events"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    fine = grouped_agg(
+        ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "hour"],
+        aggs=[("event_type", "count", "n_events")]).to_pandas()
     sub = (fine.groupby("event_type", as_index=False)["n_events"].sum()
            .assign(hour=pd.NaT))
     total = pd.DataFrame([{"event_type": None, "hour": pd.NaT,
