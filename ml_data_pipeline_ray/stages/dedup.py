@@ -676,25 +676,60 @@ def simhash_candidate_pairs(ds: rd.Dataset, id_col: str,
     Exact for ``max_hd <= num_bands - 1`` — equivalent to the all-pairs scan
     without the O(n²) compare."""
     assert max_hd <= num_bands - 1, "recall bound requires max_hd < num_bands"
+    import ray
+
     stage = SimHashBandStage(id_col, text_col, num_bands)
     buckets = ds.map_batches(stage, batch_format="pyarrow")
     lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    # bucket-shard like the MinHash path: bands x docs buckets are tens of
+    # thousands of (mostly singleton) Ray groups otherwise — shard by
+    # hash(band, band_hash) % ~3x-cores and segment vectorized per shard
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    num_shards = max(8, 3 * cpus)
+
+    def tag(b: pa.Table) -> pa.Table:
+        band = b.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            g = (band * np.uint64(0x9E3779B97F4A7C15) + bh) % np.uint64(num_shards)
+        return b.append_column("_gb", pa.array(g.astype(np.int32)))
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["band", "band_hash"], kind="mergesort")
+             .drop_duplicates(subset=["band", "band_hash", id_col]))
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
         sig = g["sig"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(ids.size, k=1)
-        x = sig[a] ^ sig[b]
-        hd = lut[x.view(np.uint8).reshape(-1, 8)].sum(1)
-        keep = hd <= max_hd
-        return pd.DataFrame({"id_a": ids[a[keep]], "id_b": ids[b[keep]],
-                             "hamming": hd[keep].astype(np.int64)})
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(g)]))
+        sizes = ends - starts
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            a, b = np.triu_indices(e - s, k=1)
+            x = sig[s:e][a] ^ sig[s:e][b]
+            hd = lut[x.view(np.uint8).reshape(-1, 8)].sum(1)
+            keep = hd <= max_hd
+            if keep.any():
+                out_a.append(ids[s:e][a[keep]])
+                out_b.append(ids[s:e][b[keep]])
+                out_h.append(hd[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                                 "id_b": pd.Series([], dtype=ids.dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    cand = (buckets.groupby(["band", "band_hash"])
-            .map_groups(pairs_in_bucket, batch_format="pandas")).to_pandas()
+    cand = (buckets.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_gb")
+            .map_groups(pairs_in_shard, batch_format="pandas")).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object),
