@@ -228,23 +228,33 @@ def decontaminate_flags(ds: rd.Dataset, bench: rd.Dataset,
 
 def exact_dedup(ds: rd.Dataset, cols: list[str], order_col: str) -> rd.Dataset:
     """Keep, per distinct value of ``cols``, the row with minimal
-    ``order_col``. One shuffle, keyed on a 64-bit content hash (narrow
-    shuffle rows even for wide payload columns); hash collisions are resolved
-    exactly inside each group."""
+    ``order_col``. One shuffle, keyed on ``hash(cols) % ~3x-cores`` — the
+    64-bit content hash keeps all copies of a value co-located while the
+    modulus bounds the Ray group count (a group per DISTINCT value would
+    mean corpus-sized group machinery on a mostly-unique corpus); the
+    per-shard pandas kernel resolves the real grouping (and any hash
+    collisions) exactly."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    num_shards = max(8, 3 * cpus)
+
     def add_hash(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in cols:
                 vals = batch.column(c).to_numpy(zero_copy_only=False)
                 h = h * np.uint64(0x100000001B3) + pd.util.hash_array(vals, categorize=True)
-        return batch.append_column("_dup_hash", pa.array(h, type=pa.uint64()))
+        return batch.append_column(
+            "_gb", pa.array((h % np.uint64(num_shards)).astype(np.int32)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         idx = g.groupby(cols, dropna=False, sort=False)[order_col].idxmin()
-        return g.loc[idx.to_numpy()].drop(columns=["_dup_hash"])
+        return g.loc[idx.to_numpy()].drop(columns=["_gb"])
 
     return (ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_dup_hash")
+            .groupby("_gb")
             .map_groups(keep_first, batch_format="pandas"))
 
 
