@@ -434,18 +434,42 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
 
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: per user, count sessions split at >30 min gaps.
-    Implemented as groupby(user).map_groups over ts-sorted groups (the
-    streaming-window pattern for an engine without event-time windows)."""
+    Keyed-shard exchange (hash(user) % ~3x-cores — a Ray group per USER
+    would mean corpus-sized group machinery) with a fully vectorized
+    per-shard kernel: one sort by (user, ts), session starts where the
+    user changes or the gap exceeds 30 min, reduceat per user segment."""
+    import ray
+
     ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    num_shards = max(8, 3 * cpus)
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame([{"user_id": g["user_id"].iloc[0],
-                              "n_events": len(g),
-                              "n_sessions": int(1 + gaps.sum())}])
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(u, categorize=True)
+        return b.append_column(
+            "_gb", pa.array((h % np.uint64(num_shards)).astype(np.int32)))
 
-    return (ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        newu = np.ones(n, dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        news = newu.copy()
+        news[1:] |= (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")
+        starts = np.flatnonzero(newu)
+        ends = np.concatenate((starts[1:], [n]))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "n_sessions": np.add.reduceat(news.astype(np.int64), starts),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_gb").map_groups(sess_shard, batch_format="pandas")
             ).to_pandas()
 
 

@@ -88,9 +88,11 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
                            zero_copy_batch=True).materialize()
 
     # -- pass 1: per-group moments (streaming aggregate; result is tiny) ----
-    mom = (clean.groupby(key)
-           .aggregate(Count(alias_name="n"), Min(value, alias_name="vmin"),
-                      Max(value, alias_name="vmax"))).to_pandas()
+    from .groupagg import grouped_agg
+    mom = grouped_agg(clean, keys=[key],
+                      aggs=[(value, "count", "n"),
+                            (value, "min", "vmin"),
+                            (value, "max", "vmax")]).to_pandas()
     mom = mom.sort_values(key).reset_index(drop=True)
     keys = mom[key].to_numpy()
     n = mom["n"].to_numpy().astype(np.int64)
@@ -127,9 +129,10 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
             return pa.table({"_cell": pa.array(uniq),
                              "cnt": pa.array(cnt.astype(np.int64))})
 
-    hist = (clean.map_batches(_Hist(state), batch_format="pyarrow",
-                              zero_copy_batch=True)
-            .groupby("_cell").sum("cnt")).to_pandas()
+    hist = grouped_agg(
+        clean.map_batches(_Hist(state), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["_cell"], aggs=[("cnt", "sum", "sum(cnt)")]).to_pandas()
     cell = hist["_cell"].to_numpy().astype(np.int64)
     cnt = hist["sum(cnt)"].to_numpy().astype(np.int64)
     order = np.argsort(cell, kind="mergesort")
@@ -199,9 +202,10 @@ def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
                 "cnt": pa.array(counts.astype(np.int64)),
             })
 
-    picked = (clean.map_batches(_Pick(pick_state), batch_format="pyarrow",
-                                zero_copy_batch=True)
-              .groupby(["_cell", "val"]).sum("cnt")).to_pandas()
+    picked = grouped_agg(
+        clean.map_batches(_Pick(pick_state), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["_cell", "val"], aggs=[("cnt", "sum", "sum(cnt)")]).to_pandas()
     pcell = picked["_cell"].to_numpy().astype(np.int64)
     pval = picked["val"].to_numpy(dtype=np.float64)
     pcnt = picked["sum(cnt)"].to_numpy().astype(np.int64)
