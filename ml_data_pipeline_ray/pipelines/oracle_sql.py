@@ -906,6 +906,29 @@ LIMIT 100
 """
 
 
+SQL_DOCS_REPETITION_SCORES = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents
+), idx AS (
+  SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks WHERE len(w) >= 2
+), cnt AS (
+  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+  FROM idx GROUP BY ALL
+), per AS (
+  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS nb,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM cnt GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(mx) AS BIGINT) AS sum_max_bigram,
+       CAST(sum(CASE WHEN 5 * mx > nb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+FROM per GROUP BY source
+"""
+
+
 SQL_DOCS_STRATIFIED_SAMPLE = """
 SELECT doc_id, source, n_chars FROM (
     SELECT doc_id, source, n_chars,

@@ -64,6 +64,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_curation": P.multimodal_curation,
         "ann_topk_filtered": X.ann_topk_filtered,
         "events_value_histogram": Q.events_value_histogram,
+        "docs_repetition_scores": X.docs_repetition_scores,
         # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
@@ -208,6 +209,7 @@ def build_oracle_sql() -> dict[str, str]:
         "multimodal_curation": P.sql_multimodal_curation(),
         "ann_topk_filtered": S.SQL_ANN_TOPK_FILTERED,
         "events_value_histogram": S.SQL_EVENTS_VALUE_HISTOGRAM,
+        "docs_repetition_scores": S.SQL_DOCS_REPETITION_SCORES,
         "scaler_moments_lineitem": P.SQL_SCALER_MOMENTS_LINEITEM,
         "dict_encode_docs": P.SQL_DICT_ENCODE_DOCS,
         "setops_event_users": P.SQL_SETOPS_EVENT_USERS,

@@ -426,6 +426,28 @@ def docs_sample_k(sf_dir: str) -> pd.DataFrame:
     return sample_k_deterministic(ds, k=100)
 
 
+def docs_repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality filter: per source, doc count,
+    summed top-bigram counts and how many docs a 20%%-top-bigram rule
+    flags (integer cross-multiply — no float thresholds). Map-side
+    per-batch partials (vectorized factorize/bincount over (doc, bigram)
+    pairs), one tiny grouped combine."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.text import repetition_partial
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    parts = ds.map_batches(repetition_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_agg(parts, keys=["source"],
+                      aggs=[("n_docs", "sum", "n_docs"),
+                            ("sum_max_bigram", "sum", "sum_max_bigram"),
+                            ("n_flagged", "sum", "n_flagged")]).to_pandas()
+    for c in ("n_docs", "sum_max_bigram", "n_flagged"):
+        out[c] = out[c].astype(np.int64)
+    return out[["source", "n_docs", "sum_max_bigram", "n_flagged"]]
+
+
 def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Stratified fixed-k sample: 20 docs per source domain, smallest-k
     Knuth-hash within each stratum via the map-side-pruned grouped top-k

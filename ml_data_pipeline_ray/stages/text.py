@@ -333,3 +333,69 @@ class TfIdfTopTerm:
             "tf": pa.array(tfv[pick].astype(np.int64)),
             "df": pa.array(self.dfs[wix[pick]]),
         })
+
+
+def repetition_partial(batch: pa.Table, id_col: str = "doc_id",
+                       group_col: str = "source",
+                       text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality scoring (the duplicate-bigram rule
+    used by LLM corpus filters): per document, the total bigram count and
+    the most-repeated bigram's count; a doc is FLAGGED when the top bigram
+    exceeds 20% of all bigrams (``5*max > total`` — integer
+    cross-multiplication, no float thresholds, so an SQL oracle reproduces
+    the flag exactly). Emits one per-``group_col`` partial row per batch
+    ``(group, n_docs, sum_max_bigram, n_flagged)``; tokens are lower-case
+    ``[a-z]+`` runs (the module's oracle-mirrored rule), docs with fewer
+    than 2 tokens carry no bigrams and are excluded. Fully vectorized:
+    split → flatten → factorize of (doc, bigram) pairs → bincount /
+    maximum.at — no per-doc Python."""
+    import pandas as pd
+
+    text = pc.utf8_lower(batch.column(text_col))
+    lists = pc.split_pattern_regex(text, "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat, parent = flat.filter(mask), parent.filter(mask)
+    w = flat.to_numpy(zero_copy_only=False)
+    p = parent.to_numpy(zero_copy_only=False)
+    groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_max_bigram": pa.array([], pa.int64()),
+                      "n_flagged": pa.array([], pa.int64())})
+    if len(p) < 2:
+        return empty
+    adj = p[1:] == p[:-1]                    # bigram stays inside its doc
+    if not adj.any():
+        return empty
+    docs = p[:-1][adj]
+    bg = np.char.add(np.char.add(w[:-1][adj].astype(str), " "),
+                     w[1:][adj].astype(str))
+    # exact per-(doc, bigram) counts: factorize the pair key (string-exact,
+    # no hash collisions), then bincount
+    codes, _ = pd.factorize(
+        pd.MultiIndex.from_arrays([docs, bg]), sort=False)
+    pair_cnt = np.bincount(codes)
+    # map each pair code back to its doc (first occurrence carries it;
+    # init above any valid index so minimum.at always lands)
+    first_idx = np.full(pair_cnt.size, codes.size, np.int64)
+    np.minimum.at(first_idx, codes, np.arange(codes.size))
+    pair_doc = docs[first_idx]
+    n_docs_total = int(batch.num_rows)
+    nb = np.zeros(n_docs_total, np.int64)
+    np.add.at(nb, pair_doc, pair_cnt)
+    mx = np.zeros(n_docs_total, np.int64)
+    np.maximum.at(mx, pair_doc, pair_cnt)
+    has = nb > 0
+    flagged = (5 * mx > nb) & has
+    uniq, inv = np.unique(groups[has], return_inverse=True)
+    out_docs = np.bincount(inv).astype(np.int64)
+    out_max = np.zeros(uniq.size, np.int64)
+    np.add.at(out_max, inv, mx[has])
+    out_flag = np.zeros(uniq.size, np.int64)
+    np.add.at(out_flag, inv, flagged[has].astype(np.int64))
+    return pa.table({group_col: pa.array(uniq.astype(str), pa.string()),
+                     "n_docs": pa.array(out_docs),
+                     "sum_max_bigram": pa.array(out_max),
+                     "n_flagged": pa.array(out_flag)})

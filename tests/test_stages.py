@@ -595,3 +595,27 @@ def test_unpivot_and_pivot_vs_pandas(ray_session):
     for t in ["x", "y", "z"]:
         assert wide[f"n_{t}"].tolist() == want_n[t].tolist()
         assert wide[f"sum_{t}"].tolist() == want_s[t].tolist()
+
+
+def test_repetition_partial_flags_and_counts():
+    """Hand-computed bigram counts/flags, incl. exclusion of <2-token docs
+    and per-doc isolation of bigrams at doc boundaries."""
+    from ml_data_pipeline_ray.stages.text import repetition_partial
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["a", "a", "b", "b"],
+        "text": ["the cat the cat the cat",       # nb=5, mx=3 -> flagged
+                 "one two three four",            # nb=3, mx=1 -> flagged (5>3)
+                 "x",                             # <2 tokens -> excluded
+                 "many distinct words here now so that five times the top "
+                 "bigram does not beat the total count of all bigrams q w"],
+    })
+    out = repetition_partial(t).to_pandas().sort_values("source")
+    a = out[out.source == "a"].iloc[0]
+    assert (a.n_docs, a.sum_max_bigram, a.n_flagged) == (2, 4, 2)
+    b = out[out.source == "b"].iloc[0]
+    assert b.n_docs == 1 and b.n_flagged == 0
+    # empty batch stays typed
+    empty = repetition_partial(t.slice(2, 1))
+    assert empty.num_rows == 0 and empty["n_docs"].type == pa.int64()
