@@ -65,7 +65,7 @@ QUERY_SUITE = [
     "audio_decode_stats", "video_frame_sample_stats",
     "docs_stratified_sample", "embeddings_quantize_int8", "events_cube",
     "events_distinct_users", "multimodal_curation",
-    "ann_topk_filtered", "events_value_histogram",
+    "ann_topk_filtered", "events_value_histogram", "docs_repetition_scores",
 ]
 
 
