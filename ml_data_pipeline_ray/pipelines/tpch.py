@@ -98,14 +98,16 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         return (b.append_column("disc_price", disc_price)
                  .append_column("charge", charge))
 
-    out = (ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Sum("charge", alias_name="sum_charge"),
-                      Sum("l_discount", alias_name="_sum_disc"),
-                      Count(alias_name="count_order"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[("l_quantity", "sum", "sum_qty"),
+              ("l_extendedprice", "sum", "sum_base_price"),
+              ("disc_price", "sum", "sum_disc_price"),
+              ("charge", "sum", "sum_charge"),
+              ("l_discount", "sum", "_sum_disc"),
+              ("l_returnflag", "count", "count_order")]).to_pandas()
     # stabilize sums on the decimal grid (2dp raw, 4dp product, 6dp 2-product)
     out = _stab(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
                       "sum_charge": 6, "_sum_disc": 2})
@@ -241,9 +243,10 @@ def top_orders(sf_dir: str) -> pd.DataFrame:
 def orders_per_priority(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderpriority", "o_totalprice"])
-    out = (ds.groupby("o_orderpriority")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="_sum"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["o_orderpriority"],
+                      aggs=[("o_orderpriority", "count", "n_orders"),
+                            ("o_totalprice", "sum", "_sum")]).to_pandas()
     out = _stab(out, {"_sum": 2})
     out["avg_price"] = _haround(out["_sum"] / out["n_orders"], 4)
     return out[["o_orderpriority", "n_orders", "avg_price"]]
@@ -252,11 +255,12 @@ def orders_per_priority(sf_dir: str) -> pd.DataFrame:
 def customer_segments(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "customer"),
                          columns=["c_mktsegment", "c_acctbal"])
-    out = (ds.groupby("c_mktsegment")
-           .aggregate(Count(alias_name="n_customers"),
-                      Sum("c_acctbal", alias_name="_sum"),
-                      Min("c_acctbal", alias_name="min_bal"),
-                      Max("c_acctbal", alias_name="max_bal"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["c_mktsegment"],
+                      aggs=[("c_mktsegment", "count", "n_customers"),
+                            ("c_acctbal", "sum", "_sum"),
+                            ("c_acctbal", "min", "min_bal"),
+                            ("c_acctbal", "max", "max_bal")]).to_pandas()
     out = _stab(out, {"_sum": 2})
     out["avg_bal"] = _haround(out["_sum"] / out["n_customers"], 4)
     out = _round(out, {"min_bal": 2, "max_bal": 2})
@@ -266,9 +270,10 @@ def customer_segments(sf_dir: str) -> pd.DataFrame:
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "part"),
                          columns=["p_brand", "p_retailprice"])
-    out = (ds.groupby("p_brand")
-           .aggregate(Count(alias_name="n_parts"),
-                      Sum("p_retailprice", alias_name="_sum"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["p_brand"],
+                      aggs=[("p_brand", "count", "n_parts"),
+                            ("p_retailprice", "sum", "_sum")]).to_pandas()
     out = _stab(out, {"_sum": 2})
     out["avg_price"] = _haround(out["_sum"] / out["n_parts"], 4)
     return out[["p_brand", "n_parts", "avg_price"]]
@@ -281,9 +286,10 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
                          columns=["s_nationkey", "s_acctbal"])
     ds = broadcast_join(ds, nation.rename_columns(["s_nationkey", "n_name"]),
                         on=["s_nationkey"])
-    out = (ds.groupby("n_name")
-           .aggregate(Count(alias_name="n_suppliers"),
-                      Sum("s_acctbal", alias_name="total_bal"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["n_name"],
+                      aggs=[("n_name", "count", "n_suppliers"),
+                            ("s_acctbal", "sum", "total_bal")]).to_pandas()
     return _round(_stab(out, {"total_bal": 2}), {"total_bal": 2})
 
 
@@ -497,9 +503,10 @@ def events_systematic_sample(sf_dir: str) -> pd.DataFrame:
         return t.filter(pc.equal(m, 0))
 
     ds = ds.map_batches(mod20, batch_format="pyarrow", zero_copy_batch=True)
-    out = (ds.groupby("event_type")
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(ds, keys=["event_type"],
+                      aggs=[("event_type", "count", "n"),
+                            ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
@@ -512,9 +519,10 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
     b = read_parquet(_t(sf_dir, "events"), columns=base,
                         filter=pc.field("event_type") == "error")
     u = a.union(b)
-    out = (u.groupby("event_type")
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value"))).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(u, keys=["event_type"],
+                      aggs=[("event_type", "count", "n"),
+                            ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
 
@@ -529,10 +537,12 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
         k = pc.struct_field(m, "k").cast(pa.int64())
         return pa.table({"event_type": b["event_type"], "k": k})
 
-    out = (ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("event_type")
-           .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
-           ).to_pandas()
+    from ..stages.groupagg import grouped_agg
+    out = grouped_agg(
+        ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type"],
+        aggs=[("event_type", "count", "n"),
+              ("k", "sum", "sum_k")]).to_pandas()
     out["sum_k"] = out["sum_k"].astype("int64")
     return out
 
