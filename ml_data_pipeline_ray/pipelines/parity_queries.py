@@ -683,7 +683,7 @@ def multimodal_curation(sf_dir: str) -> pd.DataFrame:
               .union(branch("y4m", VideoDecoder, "y_sum", "video")))
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(merged, keys=["modality"],
-                      aggs=[("modality", "count", "n"),
+                      aggs=[(None, "count_star", "n"),
                             ("witness", "sum", "sum_witness")]).to_pandas()
     for c in ("n", "sum_witness"):
         out[c] = out[c].astype(np.int64)

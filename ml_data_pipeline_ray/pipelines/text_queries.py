@@ -240,10 +240,16 @@ def neardup_embedding(sf_dir: str) -> pd.DataFrame:
 
 
 def _queries(sf_dir: str, n: int = 10):
-    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    head = tbl.slice(0, n)
-    ids = np.array(head["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.vstack(head["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    """First ``n`` query vectors. Streamed via ``iter_batches`` so only the
+    first row group is decoded — never the whole SF-scaled table on the
+    driver (the query side is tiny by definition; the corpus side stays a
+    Dataset)."""
+    pf = pq.ParquetFile(_t(sf_dir, "embeddings"))
+    head = next(pf.iter_batches(batch_size=n,
+                                columns=["vec_id", "embedding"]))
+    ids = head.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.vstack(head.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
     return ids, m
 
 

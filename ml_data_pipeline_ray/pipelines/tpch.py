@@ -107,7 +107,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
               ("disc_price", "sum", "sum_disc_price"),
               ("charge", "sum", "sum_charge"),
               ("l_discount", "sum", "_sum_disc"),
-              ("l_returnflag", "count", "count_order")]).to_pandas()
+              (None, "count_star", "count_order")]).to_pandas()
     # stabilize sums on the decimal grid (2dp raw, 4dp product, 6dp 2-product)
     out = _stab(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
                       "sum_charge": 6, "_sum_disc": 2})
@@ -142,15 +142,23 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
 # -- q3: shipping priority (broadcast dims + top-k) -------------------------
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    cust = pq.read_table(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-               ["c_custkey"].to_pylist())
+    # BUILDING customers stay a DATASET (customer scales with SF): the
+    # filtered one-column key side goes through auto_join, which broadcasts
+    # only while under its hard row/byte caps and otherwise falls back to
+    # the bucketed shuffle join — no unconditional driver materialization.
+    # c_custkey is the table's primary key, so the inner join IS the semi
+    # join (no fan-out).
+    cust = read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING")
+    cust = cust.map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     orders = read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1999-01-01")))
-    orders = broadcast_semi_join(orders, keys, on=["o_custkey"])
+    orders = auto_join(orders, cust, on=["o_custkey"])
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
                    .rename_columns(["l_orderkey", "o_orderdate",
@@ -197,22 +205,30 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 # -- q5-ish: revenue by customer nation in ASIA -----------------------------
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    # region/nation are constant-size dimensions (5/25 rows) — driver reads
+    # are fine; customer scales with SF and stays a DATASET: the 25-row
+    # nation dim broadcasts INTO the streaming customer scan, and the
+    # resulting (o_custkey, n_name) side reaches orders through auto_join's
+    # capped-broadcast-or-bucketed-shuffle path.
     region = pq.read_table(_t(sf_dir, "region"))
     nation = pq.read_table(_t(sf_dir, "nation"))
-    customer = pq.read_table(_t(sf_dir, "customer"),
-                             columns=["c_custkey", "c_nationkey"])
     asia = set(region.filter(pc.equal(region["r_name"], "ASIA"))
                ["r_regionkey"].to_pylist())
     nat = nation.filter(pc.is_in(nation["n_regionkey"],
                                  value_set=pa.array(sorted(asia), pa.int32())))
-    cust = customer.to_pandas().merge(
-        nat.select(["n_nationkey", "n_name"]).to_pandas(),
-        left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    nat = (nat.select(["n_nationkey", "n_name"])
+           .rename_columns(["c_nationkey", "n_name"]))
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, nat, on=["c_nationkey"])  # inner: ASIA only
+    cust = cust.map_batches(
+        lambda t: t.select(["c_custkey", "n_name"])
+                   .rename_columns(["o_custkey", "n_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     orders = read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
-                            on=["o_custkey"])
+    orders = auto_join(orders, cust, on=["o_custkey"])
     li = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(lambda t: t.rename_columns(
@@ -245,7 +261,7 @@ def orders_per_priority(sf_dir: str) -> pd.DataFrame:
                          columns=["o_orderpriority", "o_totalprice"])
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["o_orderpriority"],
-                      aggs=[("o_orderpriority", "count", "n_orders"),
+                      aggs=[(None, "count_star", "n_orders"),
                             ("o_totalprice", "sum", "_sum")]).to_pandas()
     out = _stab(out, {"_sum": 2})
     out["avg_price"] = _haround(out["_sum"] / out["n_orders"], 4)
@@ -257,7 +273,7 @@ def customer_segments(sf_dir: str) -> pd.DataFrame:
                          columns=["c_mktsegment", "c_acctbal"])
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["c_mktsegment"],
-                      aggs=[("c_mktsegment", "count", "n_customers"),
+                      aggs=[(None, "count_star", "n_customers"),
                             ("c_acctbal", "sum", "_sum"),
                             ("c_acctbal", "min", "min_bal"),
                             ("c_acctbal", "max", "max_bal")]).to_pandas()
@@ -272,7 +288,7 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
                          columns=["p_brand", "p_retailprice"])
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["p_brand"],
-                      aggs=[("p_brand", "count", "n_parts"),
+                      aggs=[(None, "count_star", "n_parts"),
                             ("p_retailprice", "sum", "_sum")]).to_pandas()
     out = _stab(out, {"_sum": 2})
     out["avg_price"] = _haround(out["_sum"] / out["n_parts"], 4)
@@ -288,7 +304,7 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
                         on=["s_nationkey"])
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["n_name"],
-                      aggs=[("n_name", "count", "n_suppliers"),
+                      aggs=[(None, "count_star", "n_suppliers"),
                             ("s_acctbal", "sum", "total_bal")]).to_pandas()
     return _round(_stab(out, {"total_bal": 2}), {"total_bal": 2})
 
@@ -366,7 +382,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     out = grouped_agg(
         ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
         keys=["event_type", "hour"],
-        aggs=[("event_type", "count", "n_events"),
+        aggs=[(None, "count_star", "n_events"),
               ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
@@ -387,7 +403,7 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     fine = grouped_agg(
         ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True),
         keys=["event_type", "hour"],
-        aggs=[("event_type", "count", "n_events")]).to_pandas()
+        aggs=[(None, "count_star", "n_events")]).to_pandas()
     sub = (fine.groupby("event_type", as_index=False)["n_events"].sum()
            .assign(hour=pd.NaT))
     total = pd.DataFrame([{"event_type": None, "hour": pd.NaT,
@@ -422,7 +438,7 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     fine = grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         keys=["event_type", "dow"],
-        aggs=[("event_type", "count", "n"),
+        aggs=[(None, "count_star", "n"),
               ("cents", "sum", "sum_cents")]).to_pandas()
     by_type = (fine.groupby("event_type", as_index=False)
                [["n", "sum_cents"]].sum().assign(dow=np.nan))
@@ -485,7 +501,7 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
                          filter=pc.field("event_type") == "purchase")
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["user_id"],
-                      aggs=[("user_id", "count", "n_purchases"),
+                      aggs=[(None, "count_star", "n_purchases"),
                             ("value", "sum", "total_value")]).to_pandas()
     return _round(_stab(out, {"total_value": 2}), {"total_value": 2})
 
@@ -505,7 +521,7 @@ def events_systematic_sample(sf_dir: str) -> pd.DataFrame:
     ds = ds.map_batches(mod20, batch_format="pyarrow", zero_copy_batch=True)
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(ds, keys=["event_type"],
-                      aggs=[("event_type", "count", "n"),
+                      aggs=[(None, "count_star", "n"),
                             ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
@@ -521,7 +537,7 @@ def union_event_slices(sf_dir: str) -> pd.DataFrame:
     u = a.union(b)
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(u, keys=["event_type"],
-                      aggs=[("event_type", "count", "n"),
+                      aggs=[(None, "count_star", "n"),
                             ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
@@ -541,7 +557,7 @@ def events_props_k(sf_dir: str) -> pd.DataFrame:
     out = grouped_agg(
         ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True),
         keys=["event_type"],
-        aggs=[("event_type", "count", "n"),
+        aggs=[(None, "count_star", "n"),
               ("k", "sum", "sum_k")]).to_pandas()
     out["sum_k"] = out["sum_k"].astype("int64")
     return out
@@ -758,6 +774,7 @@ def csv_roundtrip_supplier(sf_dir: str) -> pd.DataFrame:
     """CSV writer -> typed CSV reader (schema inference) round trip (S1/K1):
     supplier goes to CSV and back; the oracle reads the original table, so
     any loss in the round trip fails the value hash."""
+    import shutil
     import tempfile
     import glob as _glob
 
@@ -765,9 +782,12 @@ def csv_roundtrip_supplier(sf_dir: str) -> pd.DataFrame:
 
     ds = read_parquet(_t(sf_dir, "supplier"))
     out_dir = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
-    ds.write_csv(out_dir)
-    back = read_csv_typed(sorted(_glob.glob(out_dir + "/*")))
-    df = back.to_pandas()
+    try:
+        ds.write_csv(out_dir)
+        back = read_csv_typed(sorted(_glob.glob(out_dir + "/*")))
+        df = back.to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return _round(df, {"s_acctbal": 2})
 
 
@@ -805,7 +825,7 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "events"),
                       columns=["event_type", "user_id"])
     pairs = grouped_agg(ds, keys=["event_type", "user_id"],
-                        aggs=[("user_id", "count", "_c")])
+                        aggs=[(None, "count_star", "_c")])
     out = grouped_agg(pairs, keys=["event_type"],
                       aggs=[("user_id", "count", "n_users"),
                             ("user_id", "sum", "sum_user_ids")]
@@ -859,7 +879,7 @@ def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
                    ["l_quantity", "l_extendedprice", "l_discount"])
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(long, keys=["l_returnflag", "metric"],
-                      aggs=[("metric", "count", "n"),
+                      aggs=[(None, "count_star", "n"),
                             ("value", "sum", "sum_value")]).to_pandas()
     return _round(_stab(out, {"sum_value": 2}), {"sum_value": 2})
 
@@ -886,7 +906,7 @@ def lineitem_above_p95(sf_dir: str) -> pd.DataFrame:
                        filter=pc.field("l_extendedprice") > p95)
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(flt, keys=["l_returnflag"],
-                      aggs=[("l_returnflag", "count", "n_above"),
+                      aggs=[(None, "count_star", "n_above"),
                             ("l_extendedprice", "sum", "sum_price")]
                       ).to_pandas()
     return _round(_stab(out, {"sum_price": 2}), {"sum_price": 2})

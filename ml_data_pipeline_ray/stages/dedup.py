@@ -380,7 +380,7 @@ def minhash_candidate_pairs_ds(ds: rd.Dataset, id_col: str,
     from .groupagg import grouped_agg
 
     distinct = grouped_agg(
-        cand, keys=["id_a", "id_b"], aggs=[("id_a", "count", "_c")]
+        cand, keys=["id_a", "id_b"], aggs=[(None, "count_star", "_c")]
     ).map_batches(drop_count, batch_format="pyarrow", zero_copy_batch=True)
     return distinct.materialize()
 

@@ -18,10 +18,11 @@ does ALL per-row work in Arrow C++:
    ``Table.group_by`` call (C++ again; Python touches a shard, never a
    key).
 
-Supported fns: ``sum count min max mean`` (count = non-null count of the
-named column, mirroring SQL ``COUNT(col)``; count a key column for
-``COUNT(*)``). Output columns follow the caller's aliases so oracle SQL
-matches exactly.
+Supported fns: ``sum count min max mean count_star`` (count = non-null
+count of the named column, mirroring SQL ``COUNT(col)``; ``count_star``
+counts ALL rows per group — SQL ``COUNT(*)`` — via Arrow's ``count_all``
+kernel, so it is exact even when the counted column has NULLs). Output
+columns follow the caller's aliases so oracle SQL matches exactly.
 """
 
 from __future__ import annotations
@@ -45,7 +46,8 @@ def _shard_count(cpus: int | None = None) -> int:
     import ray
 
     if cpus is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
     return max(16, 3 * cpus)
 
 
@@ -69,21 +71,28 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
             plan.append((col, "sum", f"_s_{out}", "sum"))
             plan.append((col, "count", f"_c_{out}", "sum"))
             finalize_means.append((out, f"_s_{out}", f"_c_{out}"))
+        elif fn in ("count_star", "count_all"):
+            # SQL COUNT(*): col is ignored; Arrow's count_all kernel
+            # counts every row of the group, NULLs included
+            plan.append((None, "count_all", f"_p_{out}", "sum"))
         elif fn in _DECOMP:
             pfn, cfn = _DECOMP[fn]
             plan.append((col, pfn, f"_p_{out}", cfn))
         else:
             raise ValueError(f"unsupported agg fn {fn!r}")
 
-    arrow_aggs = list(dict.fromkeys((col, afn) for col, afn, _, _ in plan))
+    arrow_aggs = [([], afn) if col is None else (col, afn)
+                  for col, afn in dict.fromkeys(
+                      (col, afn) for col, afn, _, _ in plan)]
     need_cols = list(dict.fromkeys(
-        keys + [c for c, _, _, _ in plan]))
+        keys + [c for c, _, _, _ in plan if c is not None]))
 
     def partial(batch: pa.Table) -> pa.Table:
         agged = batch.select(need_cols).group_by(keys).aggregate(arrow_aggs)
         cols = {k: agged[k] for k in keys}
         for col, afn, tmp, _ in plan:
-            cols[tmp] = agged[f"{col}_{afn}"]
+            cols[tmp] = agged["count_all" if col is None
+                              else f"{col}_{afn}"]
         t = pa.table(cols)
         h = np.zeros(t.num_rows, np.uint64)
         for k in keys:

@@ -383,11 +383,13 @@ class AudioDecoder:
         energy = np.zeros(n, np.float64)
         for i in range(n):                    # per-clip decode is inherent
             s, r = decode_wav(bytes(col[i].as_py()))
-            if self.frame_step:
-                s = s[::self.frame_step]
+            # clip-level metadata comes from the FULL decode; frame_step
+            # subsamples only the witness/energy stats below
             ch[i], rate[i] = s.shape[1], r
             nsamp[i] = s.shape[0]
             dur[i] = s.shape[0] * 1000 // r
+            if self.frame_step:
+                s = s[::self.frame_step]
             a = s.astype(np.int64)
             abs_sum[i] = int(np.abs(a).sum())
             energy[i] = float((a * a).mean()) if a.size else 0.0

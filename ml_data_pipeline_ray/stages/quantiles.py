@@ -263,5 +263,5 @@ def fixed_width_histogram(ds, value_col: str, group_cols: list[str],
         ds.map_batches(bucketize, batch_format="pyarrow",
                        zero_copy_batch=True),
         keys=[*group_cols, "bucket"],
-        aggs=[("bucket", "count", "n")])
+        aggs=[(None, "count_star", "n")])
     return hist

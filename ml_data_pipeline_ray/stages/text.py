@@ -360,7 +360,8 @@ def repetition_partial(batch: pa.Table, id_col: str = "doc_id",
     w = flat.to_numpy(zero_copy_only=False)
     p = parent.to_numpy(zero_copy_only=False)
     groups = batch.column(group_col).to_numpy(zero_copy_only=False)
-    empty = pa.table({group_col: pa.array([], pa.string()),
+    gtype = batch.schema.field(group_col).type
+    empty = pa.table({group_col: pa.array([], gtype),
                       "n_docs": pa.array([], pa.int64()),
                       "sum_max_bigram": pa.array([], pa.int64()),
                       "n_flagged": pa.array([], pa.int64())})
@@ -389,13 +390,19 @@ def repetition_partial(batch: pa.Table, id_col: str = "doc_id",
     np.maximum.at(mx, pair_doc, pair_cnt)
     has = nb > 0
     flagged = (5 * mx > nb) & has
-    uniq, inv = np.unique(groups[has], return_inverse=True)
+    uniq, first, inv = np.unique(groups[has], return_index=True,
+                                 return_inverse=True)
     out_docs = np.bincount(inv).astype(np.int64)
     out_max = np.zeros(uniq.size, np.int64)
     np.add.at(out_max, inv, mx[has])
     out_flag = np.zeros(uniq.size, np.int64)
     np.add.at(out_flag, inv, flagged[has].astype(np.int64))
-    return pa.table({group_col: pa.array(uniq.astype(str), pa.string()),
+    # carry the group values via take() from the source column so the
+    # input's exact Arrow type (string / large_string / non-string)
+    # survives into the downstream grouped_agg exchange
+    gvals = batch.column(group_col).take(
+        pa.array(np.flatnonzero(has)[first], pa.int64()))
+    return pa.table({group_col: gvals,
                      "n_docs": pa.array(out_docs),
                      "sum_max_bigram": pa.array(out_max),
                      "n_flagged": pa.array(out_flag)})

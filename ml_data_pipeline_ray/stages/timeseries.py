@@ -210,9 +210,14 @@ def _regularize_bucketed(ds: rd.Dataset, key: str, ts_col: str,
         batch = batch.select(cols)
         if combine == "sum":
             # map-side partial combine: duplicates of (key, ts) within the
-            # batch collapse before the shuffle
-            batch = batch.group_by([key, ts_col]).aggregate(
-                [(c, "sum") for c in value_cols]).rename_columns(cols)
+            # batch collapse before the shuffle; rebuild by NAME (pyarrow's
+            # output column order — keys first vs aggregates first — varied
+            # across versions, so a positional rename is unsafe)
+            agg = batch.group_by([key, ts_col]).aggregate(
+                [(c, "sum") for c in value_cols])
+            batch = pa.table(
+                {key: agg.column(key), ts_col: agg.column(ts_col),
+                 **{c: agg.column(f"{c}_sum") for c in value_cols}})
         kv = batch.column(key).to_numpy(zero_copy_only=False)
         b = (pd.util.hash_array(kv, categorize=True)
              % np.uint64(num_buckets)).astype(np.int32)
