@@ -615,27 +615,81 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _jpeg_fixture_path() -> str:
+    from ..stages.multimodal import make_jpeg_fixture
+
+    d = _scratch("jpegfx", "global")
+    path = os.path.join(d, "jpegs.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_jpeg_fixture(n=96, seed=42), path)
+    return path
+
+
+def jpeg_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL baseline-JPEG decode end-to-end (the reference sniffs JPEG
+    first, ``image.rs:51-56``, but its decode is a stub — this one is a
+    full T.81 sequential decoder: Huffman, dequant, IDCT, 4:2:0/4:4:4,
+    restart markers). Seeded JPEG blobs are decoded in an actor pool and
+    the per-channel-count aggregate of dims + exact pixel sums is checked
+    against the fixture's truth columns — any entropy/IDCT/upsample/color
+    bug changes the hash."""
+    from ..stages.multimodal import ImageDecoder
+
+    ds = read_parquet(_jpeg_fixture_path(), columns=["item_id", "data"])
+    dec = ds.map_batches(ImageDecoder,
+                         fn_constructor_kwargs={"gray_witness": True},
+                         batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = (dec.groupby("channels")
+           .aggregate(Count(alias_name="n"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("px_sum", alias_name="sum_px"),
+                      Sum("px_sum_gray", alias_name="sum_px_gray"))
+           ).to_pandas()
+    for c in ("channels", "n", "sum_width", "sum_height", "sum_px",
+              "sum_px_gray"):
+        out[c] = out[c].astype(np.int64)
+    return out[["channels", "n", "sum_width", "sum_height", "sum_px",
+                "sum_px_gray"]]
+
+
+def sql_jpeg_decode_stats() -> str:
+    path = _jpeg_fixture_path()
+    return f"""
+SELECT CAST(true_channels AS BIGINT) AS channels,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_width) AS BIGINT) AS sum_width,
+       CAST(sum(true_height) AS BIGINT) AS sum_height,
+       CAST(sum(true_px_sum) AS BIGINT) AS sum_px,
+       CAST(sum(true_px_sum_gray) AS BIGINT) AS sum_px_gray
+FROM read_parquet('{path}') GROUP BY true_channels
+"""
+
+
 def _multimodal_mix_path() -> str:
-    """Combined mixed-media fixture: PNG + WAV + Y4M blobs in ONE binary
-    column with encode-time ``modality`` + per-item exact integer
-    ``true_witness`` (image: pixel sum; audio: |sample| sum; video: luma
-    sum) for the SQL oracle."""
-    from ..stages.multimodal import (make_png_fixture, make_wav_fixture,
-                                     make_y4m_fixture)
+    """Combined mixed-media fixture: PNG + baseline-JPEG + WAV + Y4M blobs
+    in ONE binary column with encode-time ``modality`` + per-item exact
+    integer ``true_witness`` (image: pixel sum; audio: |sample| sum; video:
+    luma sum) for the SQL oracle."""
+    from ..stages.multimodal import (make_jpeg_fixture, make_png_fixture,
+                                     make_wav_fixture, make_y4m_fixture)
 
     d = _scratch("mmcur", "global")
-    path = os.path.join(d, "mixed.parquet")
+    path = os.path.join(d, "mixed2.parquet")   # v2: + jpeg arm (round 5)
     if not os.path.exists(path):
         png = make_png_fixture(n=48, seed=7)
+        jpg = make_jpeg_fixture(n=48, seed=7)
         wav = make_wav_fixture(n=48, seed=7)
         y4m = make_y4m_fixture(n=48, seed=7)
-        ids = pa.array(np.arange(144, dtype=np.int64))
-        modality = pa.array(["image"] * 48 + ["audio"] * 48 + ["video"] * 48)
+        ids = pa.array(np.arange(192, dtype=np.int64))
+        modality = pa.array(["image"] * 48 + ["image_jpeg"] * 48
+                            + ["audio"] * 48 + ["video"] * 48)
         data = pa.concat_arrays([
-            png["data"].combine_chunks(), wav["data"].combine_chunks(),
-            y4m["data"].combine_chunks()])
+            png["data"].combine_chunks(), jpg["data"].combine_chunks(),
+            wav["data"].combine_chunks(), y4m["data"].combine_chunks()])
         witness = pa.concat_arrays([
             png["true_px_sum"].combine_chunks(),
+            jpg["true_px_sum"].combine_chunks(),
             wav["true_abs_sum"].combine_chunks(),
             y4m["true_y_sum_all"].combine_chunks()])
         pq.write_table(pa.table({"item_id": ids, "modality": modality,
@@ -645,8 +699,9 @@ def _multimodal_mix_path() -> str:
 
 
 def multimodal_curation(sf_dir: str) -> pd.DataFrame:
-    """Flagship multimodal pipeline: ONE mixed binary table (PNG images +
-    WAV audio + Y4M video interleaved) → vectorized magic-byte sniff →
+    """Flagship multimodal pipeline: ONE mixed binary table (PNG + baseline
+    JPEG images + WAV audio + Y4M video interleaved) → vectorized
+    magic-byte sniff →
     the sniffed format ROUTES each blob to its real spec-based decoder in
     an actor pool → each decoder recomputes an exact integer witness from
     the decoded payload (pixels / PCM samples / luma planes) → union →
@@ -679,6 +734,7 @@ def multimodal_curation(sf_dir: str) -> pd.DataFrame:
                                zero_copy_batch=True)
 
     merged = (branch("png", ImageDecoder, "px_sum", "image")
+              .union(branch("jpeg", ImageDecoder, "px_sum", "image_jpeg"))
               .union(branch("wav", AudioDecoder, "abs_sum", "audio"))
               .union(branch("y4m", VideoDecoder, "y_sum", "video")))
     from ..stages.groupagg import grouped_agg

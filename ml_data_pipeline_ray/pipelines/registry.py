@@ -54,6 +54,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
         # new in round 4
         "csv_quote_roundtrip": P.csv_quote_roundtrip,
+        "jpeg_decode_stats": P.jpeg_decode_stats,
         "image_decode_stats": P.image_decode_stats,
         "audio_decode_stats": P.audio_decode_stats,
         "video_frame_sample_stats": P.video_frame_sample_stats,
@@ -199,6 +200,7 @@ def build_oracle_sql() -> dict[str, str]:
         "sql_source_events": P.SQL_SQL_SOURCE_EVENTS,
         "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
         "csv_quote_roundtrip": P.SQL_CSV_QUOTE_ROUNDTRIP,
+        "jpeg_decode_stats": P.sql_jpeg_decode_stats(),
         "image_decode_stats": P.sql_image_decode_stats(),
         "audio_decode_stats": P.sql_audio_decode_stats(),
         "video_frame_sample_stats": P.sql_video_frame_sample_stats(),

@@ -305,6 +305,101 @@ def test_png_codec_roundtrip_all_color_types():
         decode_png(b"\xff\xd8\xffjunk")
 
 
+def test_png_adam7_and_16bit():
+    """Adam7 interlace reassembly + 16-bit sample reduction (high byte),
+    across channel counts and odd/tiny dims."""
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        for (h, w) in ((1, 1), (3, 2), (8, 9), (23, 17)):
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            assert (decode_png(encode_png(img, interlace=True)) == img).all()
+    img16 = rng.integers(0, 65536, (13, 11, 3), dtype=np.uint16)
+    expect = (img16 >> 8).astype(np.uint8)
+    assert (decode_png(encode_png(img16)) == expect).all()
+    assert (decode_png(encode_png(img16, interlace=True)) == expect).all()
+
+
+def test_jpeg_codec_spec_paths():
+    """Builtin baseline JPEG codec (public T.81 spec): analytic constant-
+    tile exactness (grayscale DC path is pure integer — the expected value
+    is derived from the spec's quantization arithmetic, never from the
+    decoder), PSNR bounds on gradients for 4:4:4 and 4:2:0 incl. non-MCU-
+    aligned dims, byte stuffing, restart markers, error paths."""
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.jpeg import (_ZZ, _Q_LUMA, _scaled_quant,
+                                                  decode_jpeg, encode_jpeg)
+
+    # zigzag: the spec's first 10 raster indices
+    assert _ZZ[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZZ.tolist()) == list(range(64))
+    # quality-50 luma quant table is the Annex-K base (Q00 = 16)
+    assert _scaled_quant(_Q_LUMA, 50)[0] == 16
+    # analytic constant-tile exactness ((v-128) even avoids the lossy
+    # round-half boundary, making the expectation exact from the spec)
+    for v in (0, 6, 60, 128, 200, 250):
+        out = decode_jpeg(encode_jpeg(np.full((16, 24), v, np.uint8),
+                                      quality=50))
+        vp = v - 128
+        qc = np.sign(vp) * np.floor(abs(vp) * 8 / 16 + 0.5)
+        expect = int(np.clip(np.round(qc * 16 / 8 + 128), 0, 255))
+        assert out.shape == (16, 24, 1)
+        assert (out == expect).all(), (v, expect)
+    # gradient PSNR across subsampling modes and non-aligned dims
+    for sub, floor_db in (("444", 45), ("420", 40)):
+        for (h, w) in ((24, 32), (17, 23), (8, 8), (33, 41)):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + xx * 2) % 256, (yy * 2 + 40) % 256,
+                            (xx * 4 + 90) % 256], axis=2).astype(np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+            assert out.shape == img.shape
+            mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > floor_db
+    # noise stresses long Huffman codes; 0xFF stuffing must appear
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    buf = encode_jpeg(img, quality=95)
+    assert b"\xff\x00" in buf
+    assert decode_jpeg(buf).shape == img.shape
+    # restart markers are lossless vs the plain stream
+    for sub in ("444", "420"):
+        a = decode_jpeg(encode_jpeg(img, 85, sub))
+        b = decode_jpeg(encode_jpeg(img, 85, sub, restart_interval=3))
+        assert (a == b).all()
+    assert b"\xff\xdd" in encode_jpeg(img, 85, "444", restart_interval=3)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNGjunk")
+    # progressive SOF must be refused, not mis-decoded
+    prog = bytearray(encode_jpeg(img, 85))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_fixture_and_imagedecoder_routing():
+    """ImageDecoder magic-routes JPEG blobs to the builtin T.81 decoder and
+    reproduces the fixture's build-time decoded witnesses exactly."""
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (ImageDecoder,
+                                                        make_jpeg_fixture)
+
+    t = make_jpeg_fixture(n=18, seed=3)
+    out = ImageDecoder(gray_witness=True)(t)
+    assert out["width"].to_pylist() == [
+        int(x) for x in t["true_width"].to_pylist()]
+    assert out["height"].to_pylist() == [
+        int(x) for x in t["true_height"].to_pylist()]
+    assert out["channels"].to_pylist() == [
+        int(x) for x in t["true_channels"].to_pylist()]
+    assert out["px_sum"].to_pylist() == t["true_px_sum"].to_pylist()
+    assert out["px_sum_gray"].to_pylist() == t["true_px_sum_gray"].to_pylist()
+
+
 def test_png_decode_unfilters_sub_up_avg_paeth():
     """Hand-filter scanlines with types 1-4 and check the decoder recovers
     the original pixels (the encoder only emits type 0, so this covers the
