@@ -66,6 +66,8 @@ QUERY_SUITE = [
     "docs_stratified_sample", "embeddings_quantize_int8", "events_cube",
     "events_distinct_users", "multimodal_curation",
     "ann_topk_filtered", "events_value_histogram", "docs_repetition_scores",
+    # round 5 additions
+    "jpeg_decode_stats",
 ]
 
 
@@ -78,8 +80,9 @@ QUERY_SUITE = [
 QUERIES_PER_PROC = 12
 
 
-def run_query_chunks(num_cpus: int, sf_dir: str) -> dict:
+def run_query_chunks(num_cpus: int, sf_dir: str) -> tuple[dict, dict]:
     per: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for i in range(0, len(QUERY_SUITE), QUERIES_PER_PROC):
         chunk = QUERY_SUITE[i:i + QUERIES_PER_PROC]
         env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
@@ -88,8 +91,10 @@ def run_query_chunks(num_cpus: int, sf_dir: str) -> dict:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
-        per.update(json.loads(out.strip().splitlines()[-1])["queries"])
-    return per
+        r = json.loads(out.strip().splitlines()[-1])
+        per.update(r["queries"])
+        cold.update(r.get("queries_cold", {}))
+    return per, cold
 
 
 def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
@@ -156,6 +161,7 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
             headline = wall if headline is None else min(headline, wall)
 
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     if include_queries and only:
         # untimed session warmup: worker startup + code shipping otherwise
         # land on the chunk's first query (best-of-2 absorbs most of it, but
@@ -163,23 +169,29 @@ def run_bench(num_cpus: int, sf_dir: str, include_queries: bool = True) -> dict:
         rd.range(10_000).map_batches(lambda b: b).count()
         queries = build_queries()
         for name in suite:                # best of 2 (same noise argument)
-            best = None
+            best = cold = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 queries[name](sf_dir)
                 wall = time.perf_counter() - t0
+                if cold is None:
+                    cold = wall           # first in-session run: fixture
                 best = wall if best is None else min(best, wall)
             per_query[name] = round(best, 3)
+            # generation / scratch IO / plan warmup included — the
+            # driver-vs-builder delta diagnostic BASELINE.md tabulates
+            per_query_cold[name] = round(cold, 3)
 
     ray.shutdown()
     if include_queries and not only:
         # the full suite runs in fresh subprocesses, a chunk per session
-        per_query = run_query_chunks(num_cpus, sf_dir)
+        per_query, per_query_cold = run_query_chunks(num_cpus, sf_dir)
     return {
         "metric": "cdc_replay_wall_sec",
         "value": round(headline, 3) if headline is not None else None,
         "unit": "sec",
         "queries": per_query,
+        "queries_cold": per_query_cold,
         "sf": _sf_tag(sf_dir),
         "num_cpus": num_cpus,
         "events": events,

@@ -24,86 +24,91 @@ from . import oracle_sql as S
 
 
 def build_queries() -> dict[str, Callable[[str], Any]]:
-    """ROTATED for round 4 (VERDICT r03 item 1): the driver records the
-    first ~50 entries only, so the 39 queries it has never recorded (plus
-    this round's new queries and the queries whose code changed this round)
-    lead, ordered evidence-need-first — the two r02 hash-FAILs whose fix
-    has no driver signal yet are first. Queries with all-green
-    CORRECTNESS_r03 rows and unchanged code rotate to the back."""
+    """ROTATED for round 5 (VERDICT r04 item 2): the driver records the
+    first ~50 entries only, so evidence-need-first ordering — (a) queries
+    NEW or code-changed in round 5 (JPEG codec + multimodal rewrite,
+    bounded q3/nation_revenue joins, count_star conversions, timeseries /
+    repetition / quantiles / dedup kernel touches), then (b) the twelve
+    r4-changed queries whose last driver row predates their current code
+    (judge-replica-PASS in r04; convert to hard driver evidence), then (c)
+    everything else rotating through the tail."""
     return {
-        # r02 hash-FAILs — fixed in r03, judge-replica-verified, never
-        # driver-re-recorded: the single most important evidence gap
-        "events_asof_click": Q.events_asof_click,
-        "events_range_click_count": Q.events_range_click_count,
-        # never driver-recorded: relational / TPC-H family
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "q6_revenue": Q.q6_revenue,
+        # (a) new in round 5
+        "jpeg_decode_stats": P.jpeg_decode_stats,
+        # (a) code changed in round 5 — bounded joins (VERDICT item 1)
         "q3_top_orders": Q.q3_top_orders,
         "nation_revenue": Q.nation_revenue,
-        "top_orders": Q.top_orders,
+        # (a) multimodal: Adam7/16-bit PNG, JPEG routing, 4-arm curation,
+        # AudioDecoder metadata contract
+        "multimodal_curation": P.multimodal_curation,
+        "image_decode_stats": P.image_decode_stats,
+        "audio_decode_stats": P.audio_decode_stats,
+        "video_frame_sample_stats": P.video_frame_sample_stats,
+        "multimodal_sniff_decode": P.multimodal_sniff_decode,
+        # (a) scaffolding sweep: first-row-group query vectors, /tmp cleanup
+        "ann_topk": X.ann_topk,
+        "ann_topk_filtered": X.ann_topk_filtered,
+        "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
+        # (a) grouped_agg count_star call sites + kernel-touched stages
+        "q1_pricing_summary": Q.q1_pricing_summary,
         "orders_per_priority": Q.orders_per_priority,
         "customer_segments": Q.customer_segments,
         "parts_by_brand": Q.parts_by_brand,
         "supplier_balance_by_nation": Q.supplier_balance_by_nation,
-        "lineitem_filter_predicates": Q.lineitem_filter_predicates,
-        "part_filter_string_predicates": Q.part_filter_string_predicates,
-        # never driver-recorded: readers
-        "sql_source_events": P.sql_source_events,
-        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
-        "csv_inference_messy": P.csv_inference_messy,
-        "csv_roundtrip_supplier": Q.csv_roundtrip_supplier,
-        # new in round 4
-        "csv_quote_roundtrip": P.csv_quote_roundtrip,
-        "jpeg_decode_stats": P.jpeg_decode_stats,
-        "image_decode_stats": P.image_decode_stats,
-        "audio_decode_stats": P.audio_decode_stats,
-        "video_frame_sample_stats": P.video_frame_sample_stats,
-        "docs_stratified_sample": X.docs_stratified_sample,
-        "embeddings_quantize_int8": X.embeddings_quantize_int8,
-        "events_cube": Q.events_cube,
-        "events_distinct_users": Q.events_distinct_users,
-        "multimodal_curation": P.multimodal_curation,
-        "ann_topk_filtered": X.ann_topk_filtered,
-        "events_value_histogram": Q.events_value_histogram,
-        "docs_repetition_scores": X.docs_repetition_scores,
-        # never driver-recorded: events / streaming-shaped
         "events_hourly": Q.events_hourly,
-        "events_sessions": Q.events_sessions,
+        "events_rollup": Q.events_rollup,
         "events_user_stats": Q.events_user_stats,
         "events_systematic_sample": Q.events_systematic_sample,
         "union_event_slices": Q.union_event_slices,
+        "events_props_k": Q.events_props_k,
+        "events_cube": Q.events_cube,
+        "events_distinct_users": Q.events_distinct_users,
+        "events_value_histogram": Q.events_value_histogram,
+        "docs_repetition_scores": X.docs_repetition_scores,
+        "neardup_minhash": X.neardup_minhash,
+        "neardup_ngram": X.neardup_ngram,
+        "neardup_minhash_docs": X.neardup_minhash_docs,
+        "neardup_embedding": X.neardup_embedding,
+        "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
+        # (b) r4-changed, last driver row r03 (VERDICT r04 item 2 list)
+        "setops_event_users": P.setops_event_users,
+        "events_pivot_types": Q.events_pivot_types,
+        "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
+        "lineitem_above_p95": Q.lineitem_above_p95,
+        "cdc_incremental_agg": C.cdc_incremental_agg,
+        "cdc_table_changes": C.cdc_table_changes,
+        "events_value_quantiles": Q.events_value_quantiles,
+        "timeseries_fill_hourly": P.timeseries_fill_hourly,
+        "docs_vocab_topk": X.docs_vocab_topk,
+        "neardup_components": X.neardup_components,
+        "lineitem_bloom_join": Q.lineitem_bloom_join,
+        "orders_customer_salted": Q.orders_customer_salted,
+        # (c) driver-green in r04 with unchanged code — next-most-stale first
+        "events_sessions": Q.events_sessions,
         "events_onehot": Q.events_onehot,
         "events_rolling_3h": Q.events_rolling_3h,
-        "events_props_k": Q.events_props_k,
         "distinct_event_types": Q.distinct_event_types,
-        # never driver-recorded: text analysis
         "docs_token_stats": X.docs_token_stats,
         "docs_quality_by_source": X.docs_quality_by_source,
         "docs_langid": X.docs_langid,
         "docs_fingerprint": X.docs_fingerprint,
-        # never driver-recorded: dedup + similarity search
         "dedup_exact_events": X.dedup_exact_events,
         "dedup_exact_docs": X.dedup_exact_docs,
-        "neardup_minhash": X.neardup_minhash,
-        "neardup_ngram": X.neardup_ngram,
-        "neardup_simhash": X.neardup_simhash,
-        "neardup_embedding": X.neardup_embedding,
-        "ann_topk": X.ann_topk,
-        "ann_ivf": X.ann_ivf,
-        "neardup_minhash_docs": X.neardup_minhash_docs,
-        # code changed this round (r03-green, re-record wanted): perf fixes
-        "setops_event_users": P.setops_event_users,
-        "timeseries_fill_hourly": P.timeseries_fill_hourly,
-        "cdc_table_changes": C.cdc_table_changes,
-        "cdc_incremental_agg": C.cdc_incremental_agg,
-        "neardup_components": X.neardup_components,
-        "lineitem_bloom_join": Q.lineitem_bloom_join,
-        "embeddings_kmeans": X.embeddings_kmeans,
-        "events_hive_roundtrip": Q.events_hive_roundtrip,
-        "events_user_cumsum": Q.events_user_cumsum,
-        "docs_sample_k": X.docs_sample_k,
         # ---- driver cutoff lands around here (first ~50 recorded) ----
-        # r03 all-green, code unchanged: rotate to the back
+        "neardup_simhash": X.neardup_simhash,
+        "ann_ivf": X.ann_ivf,
+        "events_asof_click": Q.events_asof_click,
+        "events_range_click_count": Q.events_range_click_count,
+        "q6_revenue": Q.q6_revenue,
+        "top_orders": Q.top_orders,
+        "lineitem_filter_predicates": Q.lineitem_filter_predicates,
+        "part_filter_string_predicates": Q.part_filter_string_predicates,
+        "sql_source_events": P.sql_source_events,
+        "jsonl_roundtrip_events": P.jsonl_roundtrip_events,
+        "csv_inference_messy": P.csv_inference_messy,
+        "csv_quote_roundtrip": P.csv_quote_roundtrip,
+        "docs_stratified_sample": X.docs_stratified_sample,
+        "embeddings_quantize_int8": X.embeddings_quantize_int8,
         "cdc_replay": C.cdc_replay,
         "cdc_replay_two_stage": C.cdc_replay_two_stage,
         "cdc_replay_rounds": C.cdc_replay_rounds,
@@ -117,32 +122,27 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_lines_docs": P.text_lines_docs,
         "scaler_moments_lineitem": P.scaler_moments_lineitem,
         "dict_encode_docs": P.dict_encode_docs,
-        "multimodal_sniff_decode": P.multimodal_sniff_decode,
         "tensor_roundtrip_embeddings": P.tensor_roundtrip_embeddings,
         "avro_roundtrip_events": P.avro_roundtrip_events,
         "http_source_events": P.http_source_events,
         "sparse_tensor_embeddings": P.sparse_tensor_embeddings,
         "docs_pack_chunks": X.docs_pack_chunks,
         "docs_mixture_sample": X.docs_mixture_sample,
-        "docs_vocab_topk": X.docs_vocab_topk,
         "orders_customer_outer": Q.orders_customer_outer,
-        "events_value_quantiles": Q.events_value_quantiles,
         "customers_without_urgent_orders": Q.customers_without_urgent_orders,
         "events_lag_delta": Q.events_lag_delta,
         "docs_term_scrub": X.docs_term_scrub,
-        "events_rollup": Q.events_rollup,
         "docs_decontaminate": X.docs_decontaminate,
         "orders_top3_per_priority": Q.orders_top3_per_priority,
-        "events_pivot_types": Q.events_pivot_types,
-        "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "docs_words_explode": X.docs_words_explode,
-        "docs_tfidf_top_terms": X.docs_tfidf_top_terms,
-        "lineitem_above_p95": Q.lineitem_above_p95,
+        "embeddings_kmeans": X.embeddings_kmeans,
+        "events_hive_roundtrip": Q.events_hive_roundtrip,
+        "events_user_cumsum": Q.events_user_cumsum,
+        "docs_sample_k": X.docs_sample_k,
         "events_approx_distinct": Q.events_approx_distinct,
         "docs_corpus_curation": X.docs_corpus_curation,
         "events_session_stats": Q.events_session_stats,
         "docs_sliding_chunks": X.docs_sliding_chunks,
-        "orders_customer_salted": Q.orders_customer_salted,
         "embeddings_label_centroids": X.embeddings_label_centroids,
     }
 

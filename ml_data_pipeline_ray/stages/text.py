@@ -251,14 +251,22 @@ def doc_freq_partial(batch: pa.Table, text_col: str = "text",
     t = pa.table({"d": parent.filter(mask), "word": flat.filter(mask)})
     distinct = t.group_by(["d", "word"]).aggregate([])
     vc = pc.value_counts(distinct.column("word").combine_chunks())
-    return pa.table({"word": vc.field("values"),
-                     "df": vc.field("counts").cast(pa.int64())})
+    # sentinel row: "" is never a token ([a-z]+ runs are non-empty), so it
+    # carries the batch's doc count through the same exchange — the total
+    # corpus size costs NO extra scan (build_doc_freq pops it back out)
+    words = pa.concat_arrays([vc.field("values").cast(pa.string()),
+                              pa.array([""], pa.string())])
+    dfs = pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                            pa.array([batch.num_rows], pa.int64())])
+    return pa.table({"word": words, "df": dfs})
 
 
 def build_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Distributed document frequency: per-batch distinct partials → ONE
     groupby(word) Sum → the (vocab-sized) df table plus the total doc
-    count. Returns ``(df_words, df_counts, n_docs)`` ready to broadcast."""
+    count, which rides the same exchange as the ``""`` sentinel word (no
+    separate count scan). Returns ``(df_words, df_counts, n_docs)`` ready
+    to broadcast."""
     from .groupagg import grouped_agg
 
     agg = grouped_agg(
@@ -268,9 +276,11 @@ def build_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
         keys=["word"], aggs=[("df", "sum", "df")])
     tbl = pa.concat_tables([t for t in _collect_refs(agg) if t.num_rows],
                            promote_options="permissive")
-    n_docs = ds.count()
-    return (tbl.column("word").to_numpy(zero_copy_only=False),
-            tbl.column("df").to_numpy(zero_copy_only=False), n_docs)
+    words = tbl.column("word").to_numpy(zero_copy_only=False)
+    dfs = tbl.column("df").to_numpy(zero_copy_only=False)
+    sent = words == ""
+    n_docs = int(dfs[sent].sum())
+    return words[~sent], dfs[~sent], n_docs
 
 
 def _collect_refs(ds):
