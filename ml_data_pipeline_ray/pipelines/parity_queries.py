@@ -666,6 +666,56 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _bmp_gif_fixture_path() -> str:
+    from ..stages.multimodal import make_bmp_gif_fixture
+
+    d = _scratch("bmpgiffx", "global")
+    path = os.path.join(d, "bmpgif.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_bmp_gif_fixture(n=96, seed=42), path)
+    return path
+
+
+def bmp_gif_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL builtin BMP + GIF decode end-to-end (the reference sniffs both,
+    ``image.rs:51-77``, but its decode is a stub): the vectorized magic
+    sniff labels each blob, the actor-pool ``ImageDecoder`` routes to the
+    builtin BI_RGB BMP / LZW GIF codecs, and per-format aggregates of dims
+    + exact pixel sums are checked against the fixture's encode-time truth
+    columns — both codecs are lossless, so any decode bug flips the hash."""
+    from ..stages.multimodal import ImageDecoder, sniff_format
+
+    ds = read_parquet(_bmp_gif_fixture_path(), columns=["item_id", "data"])
+    ds = ds.map_batches(sniff_format, batch_format="pyarrow")
+    dec = ds.map_batches(ImageDecoder,
+                         fn_constructor_kwargs={"gray_witness": True},
+                         batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = (dec.groupby("format")
+           .aggregate(Count(alias_name="n"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("px_sum", alias_name="sum_px"),
+                      Sum("px_sum_gray", alias_name="sum_px_gray"))
+           ).to_pandas()
+    for c in ("n", "sum_width", "sum_height", "sum_px", "sum_px_gray"):
+        out[c] = out[c].astype(np.int64)
+    return out[["format", "n", "sum_width", "sum_height", "sum_px",
+                "sum_px_gray"]]
+
+
+def sql_bmp_gif_decode_stats() -> str:
+    path = _bmp_gif_fixture_path()
+    return f"""
+SELECT true_format AS format,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_width) AS BIGINT) AS sum_width,
+       CAST(sum(true_height) AS BIGINT) AS sum_height,
+       CAST(sum(true_px_sum) AS BIGINT) AS sum_px,
+       CAST(sum(true_px_sum_gray) AS BIGINT) AS sum_px_gray
+FROM read_parquet('{path}') GROUP BY true_format
+"""
+
+
 def _multimodal_mix_path() -> str:
     """Combined mixed-media fixture: PNG + baseline-JPEG + WAV + Y4M blobs
     in ONE binary column with encode-time ``modality`` + per-item exact
@@ -718,11 +768,15 @@ def multimodal_curation(sf_dir: str) -> pd.DataFrame:
 
     def branch(fmt: str, decoder_cls, witness_col: str, modality: str):
         sub = sniffed.filter(expr=f"format == '{fmt}'")
-        # autoscaling pools (min 1): the union runs all three decode
-        # branches concurrently, and three FIXED 2-actor pools would need
-        # 6 CPUs — a deadlock on a small (4-cpu test) cluster
+        # the union runs all FOUR decode branches concurrently; at
+        # num_cpus=1 even min-1 autoscaling pools would pin 4 whole CPUs
+        # and starve the upstream filter tasks on a small (4-cpu test)
+        # cluster — a scheduling deadlock. Half-CPU actors keep the four
+        # pools at ≤2 CPU total; decode is single-threaded Python, so the
+        # worst case is mild oversubscription, never starvation.
         dec = sub.map_batches(decoder_cls, batch_format="pyarrow",
-                              concurrency=(1, 2), batch_size=32)
+                              concurrency=(1, 2), batch_size=32,
+                              num_cpus=0.5)
 
         def pick(b: pa.Table) -> pa.Table:
             return pa.table({

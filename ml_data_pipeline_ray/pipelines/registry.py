@@ -35,6 +35,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # (a) new in round 5
         "jpeg_decode_stats": P.jpeg_decode_stats,
+        "bmp_gif_decode_stats": P.bmp_gif_decode_stats,
         # (a) code changed in round 5 — bounded joins (VERDICT item 1)
         "q3_top_orders": Q.q3_top_orders,
         "nation_revenue": Q.nation_revenue,
@@ -201,6 +202,7 @@ def build_oracle_sql() -> dict[str, str]:
         "timeseries_fill_hourly": P.SQL_TIMESERIES_FILL_HOURLY,
         "csv_quote_roundtrip": P.SQL_CSV_QUOTE_ROUNDTRIP,
         "jpeg_decode_stats": P.sql_jpeg_decode_stats(),
+        "bmp_gif_decode_stats": P.sql_bmp_gif_decode_stats(),
         "image_decode_stats": P.sql_image_decode_stats(),
         "audio_decode_stats": P.sql_audio_decode_stats(),
         "video_frame_sample_stats": P.sql_video_frame_sample_stats(),

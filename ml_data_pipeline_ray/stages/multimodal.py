@@ -243,6 +243,223 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out
 
 
+# -- builtin BMP codec (public spec; BI_RGB uncompressed) ---------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB bottom-up BMP encoder for uint8 (H, W, 3)
+    arrays. Test/fixture scaffolding — deterministic bytes."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp takes (H, W, 3) uint8")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0) + data)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Real BMP decode from the public spec: BITMAPINFOHEADER (and the
+    V4/V5 supersets), uncompressed BI_RGB at 8 (paletted) / 24 / 32 bpp,
+    bottom-up or top-down rows, 4-byte row padding. Returns uint8
+    (H, W, 3) RGB (32 bpp alpha included as a 4th channel)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offbits,) = struct.unpack("<I", buf[10:14])
+    (hdr_size,) = struct.unpack("<I", buf[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size}")
+    w, h = struct.unpack("<ii", buf[18:26])
+    planes, bpp = struct.unpack("<HH", buf[26:30])
+    (compression,) = struct.unpack("<I", buf[30:34])
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP supports uncompressed BI_RGB 8/24/32 bpp only "
+            f"(bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * bpp // 8) + 3) & ~3
+    rows = np.frombuffer(buf, np.uint8, h * stride, offbits).reshape(
+        h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (used,) = struct.unpack("<I", buf[46:50])
+        n_pal = used or 256
+        pal = np.frombuffer(buf, np.uint8, n_pal * 4,
+                            14 + hdr_size).reshape(n_pal, 4)
+        idx = rows[:, :w]
+        return pal[idx][:, :, [2, 1, 0]]            # BGRX palette -> RGB
+    c = bpp // 8
+    px = rows[:, :w * c].reshape(h, w, c)
+    if c == 3:
+        return px[:, :, ::-1].copy()                 # BGR -> RGB
+    return px[:, :, [2, 1, 0, 3]].copy()             # BGRA -> RGBA
+
+
+# -- builtin GIF codec (public spec; LZW) -------------------------------------
+
+def encode_gif(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Minimal GIF89a encoder for uint8 (H, W) palette-index arrays (or
+    (H, W, 3) RGB quantized to a provided/derived ≤256-color palette).
+    Emits the classic "uncompressed LZW" stream — every pixel as a literal
+    9-bit code with CLEAR re-emitted before the code width would grow —
+    which any conforming decoder accepts. Test/fixture scaffolding."""
+    if img.ndim == 3:
+        flat = img.reshape(-1, 3)
+        palette, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError("encode_gif needs <=256 distinct colors")
+        indices = idx.reshape(img.shape[:2]).astype(np.uint8)
+    else:
+        indices = img.astype(np.uint8)
+        if palette is None:
+            palette = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    h, w = indices.shape
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])  # GCT, 256 colors
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])                                # LZW min code size
+    # uncompressed stream: CLEAR, then literals at 9 bits; re-CLEAR before
+    # the next assigned code (258 + emitted) would push past 9-bit space
+    codes: list[int] = [256]
+    emitted = 0
+    for v in indices.reshape(-1).tolist():
+        if emitted == 511 - 258:
+            codes.append(256)
+            emitted = 0
+        codes.append(v)
+        emitted += 1
+    codes.append(257)                                # END
+    acc = n = 0
+    data = bytearray()
+    for code in codes:                               # LSB-first packing
+        acc |= code << n
+        n += 9
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):               # 255-byte sub-blocks
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"                               # terminator + trailer
+    return bytes(out)
+
+
+#: GIF interlace pass order: (start_row, step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """Real GIF decode from the public spec (87a/89a): logical screen
+    descriptor, global/local color tables, extension-block skip, full LZW
+    decompression with growing code widths, interlace reassembly. Decodes
+    the FIRST image block (GIFs as dataset payloads are single-frame).
+    Returns uint8 (H, W, 3) RGB."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", buf[6:10])
+    flags = buf[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:                               # trailer
+            break
+        if b0 == 0x21:                               # extension: skip blocks
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, w, h = struct.unpack("<HHHH", buf[pos + 1:pos + 9])
+        iflags = buf[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:                            # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:                              # concat sub-blocks
+            ln = buf[pos]
+            data += buf[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(data), min_code, w * h)
+        grid = np.zeros((h, w), np.uint8)
+        if iflags & 0x40:                            # interlaced rows
+            rows = [r for s, st in _GIF_INTERLACE for r in range(s, h, st)]
+            grid[rows] = indices.reshape(h, w)
+        else:
+            grid = indices.reshape(h, w)
+        return pal[grid]
+    raise ValueError("truncated GIF (no image block)")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (LSB-first packing, growing code width 3..12 bits,
+    CLEAR/END control codes)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:n_out]
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out[n_out:n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+            n_out += len(entry)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return out[:n_out]
+
+
 def _resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     """Deterministic nearest-neighbour resize to (width, height): the pixel
     index map is ``floor((i + 0.5) * src / dst)`` — pure integer arithmetic,
@@ -310,6 +527,10 @@ class ImageDecoder:
         if b[:3] == b"\xff\xd8\xff":          # magic-routed builtin codecs
             from .jpeg import decode_jpeg
             return decode_jpeg(b)
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(b)
         return decode_png(b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -733,6 +954,46 @@ def make_jpeg_fixture(n: int = 64, seed: int = 42) -> pa.Table:
         tsg.append(int(_to_grayscale(dec).sum(dtype=np.int64)))
     return pa.table({"item_id": pa.array(ids, pa.int64()),
                      "data": pa.array(blobs, pa.binary()),
+                     "true_width": pa.array(tw, pa.int32()),
+                     "true_height": pa.array(th, pa.int32()),
+                     "true_channels": pa.array(tc, pa.int32()),
+                     "true_px_sum": pa.array(ts, pa.int64()),
+                     "true_px_sum_gray": pa.array(tsg, pa.int64())})
+
+
+def make_bmp_gif_fixture(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic REAL BMP+GIF fixture: alternating 24-bit BMP and
+    ≤256-color GIF blobs (both lossless, varied dims) encoded with the
+    builtin codecs, plus encode-time truth columns ``(true_format,
+    true_width, true_height, true_channels, true_px_sum,
+    true_px_sum_gray)`` so a driver query that sniff-routes and DECODES
+    the blobs proves both codecs end-to-end against an SQL oracle."""
+    rng = np.random.default_rng(seed)
+    ids, fmt, blobs, tw, th, tc, ts, tsg = [], [], [], [], [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(6, 40))
+        w = int(rng.integers(6, 40))
+        base = (np.arange(h)[:, None] * 2 + np.arange(w)[None, :])
+        if i % 2 == 0:                              # BMP arm: full 24-bit
+            img = np.stack([(base * (i + 3) + 17 * ch) % 256
+                            for ch in range(3)], axis=2).astype(np.uint8)
+            blobs.append(encode_bmp(img))
+            fmt.append("bmp")
+        else:                                       # GIF arm: ≤64 colors
+            img = ((np.stack([(base + 5 * ch + i) % 64
+                              for ch in range(3)], axis=2)) * 4
+                   ).astype(np.uint8)
+            blobs.append(encode_gif(img))
+            fmt.append("gif")
+        ids.append(i)
+        th.append(h)
+        tw.append(w)
+        tc.append(3)
+        ts.append(int(img.sum(dtype=np.int64)))
+        tsg.append(int(_to_grayscale(img).sum(dtype=np.int64)))
+    return pa.table({"item_id": pa.array(ids, pa.int64()),
+                     "data": pa.array(blobs, pa.binary()),
+                     "true_format": pa.array(fmt, pa.string()),
                      "true_width": pa.array(tw, pa.int32()),
                      "true_height": pa.array(th, pa.int32()),
                      "true_channels": pa.array(tc, pa.int32()),

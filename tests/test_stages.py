@@ -487,6 +487,143 @@ def test_image_decoder_options_real_decode():
     assert abs(f0[0] - img0g.mean() / 255.0) < 1e-12
 
 
+def test_bmp_codec():
+    """Builtin BMP codec: 24-bit roundtrip incl. non-multiple-of-4 strides,
+    hand-built 8-bit paletted + top-down decode, error path."""
+    import struct
+
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for (h, w) in ((1, 1), (3, 2), (16, 16), (23, 17)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == img.shape and (back == img).all()
+    # 8 bpp paletted, top-down (negative height), biClrUsed=16
+    w, h = 5, 3
+    pal_rgb = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx
+    pal = np.zeros((16, 4), np.uint8)
+    pal[:, :3] = pal_rgb[:, ::-1]                  # BGRX palette entries
+    off = 14 + 40 + 16 * 4
+    buf = (b"BM" + struct.pack("<IHHI", off + rows.size, 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, rows.size,
+                         0, 0, 16, 0)
+           + pal.tobytes() + rows.tobytes())
+    assert (decode_bmp(buf) == pal_rgb[idx]).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNGjunk")
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"BM" + bytes(12) + struct.pack(
+            "<IiiHHI", 40, 2, 2, 1, 24, 1) + bytes(24))   # RLE compression
+
+
+def _ref_lzw_gif_encode(indices: bytes, min_code: int = 8) -> bytes:
+    """Independent textbook GIF-LZW compressor (growing code widths) used
+    only to exercise the decoder's width-growth path; derived from the
+    public spec, not from the module under test."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out_codes = [(clear, width)]
+    s = indices[:1]
+    for v in indices[1:]:
+        sv = s + bytes([v])
+        if sv in table:
+            s = sv
+            continue
+        out_codes.append((table[s], width))
+        table[sv] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        s = bytes([v])
+    out_codes.append((table[s], width))
+    out_codes.append((end, width))
+    acc = n = 0
+    data = bytearray()
+    for code, cw in out_codes:                     # LSB-first packing
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_codec():
+    """Builtin GIF codec: RGB + index roundtrips through the uncompressed-
+    LZW encoder, full LZW decode with growing code widths (independent
+    compressor), the cScSc special case, interlace reassembly, errors."""
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (_lzw_decode,
+                                                        decode_gif,
+                                                        encode_gif)
+
+    rng = np.random.default_rng(9)
+    img = (rng.integers(0, 4, (13, 9, 3), dtype=np.uint8) * 63).astype(
+        np.uint8)
+    back = decode_gif(encode_gif(img))
+    assert back.shape == img.shape and (back == img).all()
+    # index image big enough to force the encoder's 9-bit CLEAR re-emission
+    gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    big = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    assert (decode_gif(encode_gif(big)) == gray_pal[big]).all()
+    # growing-width LZW via an independent spec compressor (to 11+ bits)
+    idx = rng.integers(0, 256, 3000, dtype=np.uint8)
+    data = _ref_lzw_gif_encode(idx.tobytes())
+    assert (_lzw_decode(data, 8, 3000) == idx).all()
+    # cScSc pattern exercises the code==len(table) special case
+    runs = np.zeros(64, np.uint8)
+    assert (_lzw_decode(_ref_lzw_gif_encode(runs.tobytes()), 8, 64)
+            == runs).all()
+    # interlaced: store pass-ordered rows, flip the interlace flag in the
+    # image descriptor (byte 790 = 13 LSD + 768 GCT + 9), expect reassembly
+    h, w = 11, 6
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(s, h, st)]
+    buf = bytearray(encode_gif(g[order]))
+    buf[790] |= 0x40
+    assert (decode_gif(bytes(buf)) == gray_pal[g]).all()
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BMjunk")
+
+
+def test_imagedecoder_routes_bmp_gif():
+    """ImageDecoder magic-routes BMP and GIF blobs to the builtin codecs;
+    px_sum witnesses match the source arrays exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ml_data_pipeline_ray.stages.multimodal import (ImageDecoder,
+                                                        encode_bmp,
+                                                        encode_gif)
+
+    rng = np.random.default_rng(13)
+    bmp_img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    gif_img = (rng.integers(0, 8, (6, 10, 3), dtype=np.uint8) * 31).astype(
+        np.uint8)
+    t = pa.table({"data": pa.array(
+        [encode_bmp(bmp_img), encode_gif(gif_img)], type=pa.large_binary())})
+    out = ImageDecoder()(t)
+    assert out["width"].to_pylist() == [7, 10]
+    assert out["height"].to_pylist() == [9, 6]
+    assert out["channels"].to_pylist() == [3, 3]
+    assert out["px_sum"].to_pylist() == [
+        int(bmp_img.sum(dtype=np.int64)), int(gif_img.sum(dtype=np.int64))]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_predicate_ast_fuzz_vs_duckdb():
     """Random predicate trees over lineitem: the Arrow expression applied at
