@@ -67,7 +67,7 @@ QUERY_SUITE = [
     "events_distinct_users", "multimodal_curation",
     "ann_topk_filtered", "events_value_histogram", "docs_repetition_scores",
     # round 5 additions
-    "jpeg_decode_stats", "bmp_gif_decode_stats",
+    "jpeg_decode_stats", "bmp_gif_decode_stats", "tiff_decode_stats",
 ]
 
 

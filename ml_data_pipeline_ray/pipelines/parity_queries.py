@@ -666,6 +666,57 @@ FROM read_parquet('{path}') GROUP BY true_channels
 """
 
 
+def _tiff_fixture_path() -> str:
+    from ..stages.multimodal import make_tiff_fixture
+
+    d = _scratch("tifffx", "global")
+    path = os.path.join(d, "tiffs.parquet")
+    if not os.path.exists(path):
+        pq.write_table(make_tiff_fixture(n=96, seed=42), path)
+    return path
+
+
+def tiff_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL builtin baseline-TIFF decode end-to-end (the reference sniffs
+    both TIFF byte orders, ``image.rs:60-63``, but its decode is a stub):
+    seeded blobs cycling gray/RGB/RGBA × II/MM × uncompressed/PackBits ×
+    strip layouts are decoded in an actor pool and the per-channel-count
+    aggregate of dims + exact pixel sums is checked against encode-time
+    truth — TIFF is lossless, so any IFD/strip/PackBits bug flips the
+    hash."""
+    from ..stages.multimodal import ImageDecoder
+
+    ds = read_parquet(_tiff_fixture_path(), columns=["item_id", "data"])
+    dec = ds.map_batches(ImageDecoder,
+                         fn_constructor_kwargs={"gray_witness": True},
+                         batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = (dec.groupby("channels")
+           .aggregate(Count(alias_name="n"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("px_sum", alias_name="sum_px"),
+                      Sum("px_sum_gray", alias_name="sum_px_gray"))
+           ).to_pandas()
+    for c in ("channels", "n", "sum_width", "sum_height", "sum_px",
+              "sum_px_gray"):
+        out[c] = out[c].astype(np.int64)
+    return out[["channels", "n", "sum_width", "sum_height", "sum_px",
+                "sum_px_gray"]]
+
+
+def sql_tiff_decode_stats() -> str:
+    path = _tiff_fixture_path()
+    return f"""
+SELECT CAST(true_channels AS BIGINT) AS channels,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(true_width) AS BIGINT) AS sum_width,
+       CAST(sum(true_height) AS BIGINT) AS sum_height,
+       CAST(sum(true_px_sum) AS BIGINT) AS sum_px,
+       CAST(sum(true_px_sum_gray) AS BIGINT) AS sum_px_gray
+FROM read_parquet('{path}') GROUP BY true_channels
+"""
+
+
 def _bmp_gif_fixture_path() -> str:
     from ..stages.multimodal import make_bmp_gif_fixture
 

@@ -302,6 +302,163 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return px[:, :, [2, 1, 0, 3]].copy()             # BGRA -> RGBA
 
 
+# -- builtin TIFF codec (public TIFF 6.0 spec; baseline) ----------------------
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False,
+                packbits: bool = False, rows_per_strip: int | None = None
+                ) -> bytes:
+    """Minimal baseline TIFF encoder for uint8 (H, W) gray or (H, W, 3/4)
+    chunky arrays: single IFD, strip layout, optional PackBits compression
+    and big-endian byte order. Test/fixture scaffolding."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = [img[y:y + rps].tobytes() for y in range(0, h, rps)]
+    if packbits:
+        strips = [_packbits_encode(s) for s in strips]
+    # layout: 8-byte header | strip data | IFD | out-of-line tag values
+    offsets, pos = [], 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, vals: list[int]) -> tuple[bytes, bytes]:
+        # type 3 = SHORT, 4 = LONG; inline when it fits in 4 bytes
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(f"{e}{len(vals)}{fmt}", *vals)
+        head = struct.pack(f"{e}HHI", tag, typ, len(vals))
+        if size <= 4:
+            return head + raw.ljust(4, b"\0"), b""
+        return head, raw                       # offset patched below
+
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c),
+        (259, 3, [32773 if packbits else 1]),
+        (262, 3, [2 if c >= 3 else 1]),
+        (273, 4, offsets), (277, 3, [c]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+    ]
+    if c == 4:
+        tags.append((338, 3, [2]))             # ExtraSamples: unassoc alpha
+    tags.sort()
+    entries, overflow = [], []
+    tail_off = ifd_off + 2 + 12 * len(tags) + 4
+    for tag, typ, vals in tags:
+        head, raw = entry(tag, typ, vals)
+        if raw:
+            entries.append(head + struct.pack(f"{e}I", tail_off))
+            overflow.append(raw)
+            tail_off += len(raw)
+        else:
+            entries.append(head)
+    out = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42,
+                      ifd_off)
+    out += b"".join(strips)
+    out += struct.pack(f"{e}H", len(tags)) + b"".join(entries)
+    out += struct.pack(f"{e}I", 0)             # next-IFD pointer
+    out += b"".join(overflow)
+    return out
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): runs of 2-128 identical bytes as
+    (257-n, byte); literals as (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        j = i + 1                               # literal run
+        while (j < n and j - i < 128
+               and not (j + 1 < n and data[j] == data[j + 1])):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> np.ndarray:
+    out = np.empty(expect, np.uint8)
+    pos = n_out = 0
+    while n_out < expect and pos < len(data):
+        ctrl = data[pos]
+        pos += 1
+        if ctrl < 128:                          # ctrl+1 literal bytes
+            k = ctrl + 1
+            out[n_out:n_out + k] = np.frombuffer(data, np.uint8, k, pos)
+            pos += k
+        elif ctrl > 128:                        # 257-ctrl repeats
+            k = 257 - ctrl
+            out[n_out:n_out + k] = data[pos]
+            pos += 1
+        else:                                   # 128 = no-op
+            continue
+        n_out += k
+    if n_out != expect:
+        raise ValueError("truncated PackBits strip")
+    return out
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Real baseline-TIFF decode from the public TIFF 6.0 spec: II/MM byte
+    orders, IFD walk, strip assembly, 8-bit gray (incl. WhiteIsZero) /
+    RGB / RGBA chunky, uncompressed or PackBits. Returns uint8 (H, W, C)."""
+    if buf[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    e = "<" if buf[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{e}I", buf, 4)
+    (n_tags,) = struct.unpack_from(f"{e}H", buf, ifd_off)
+    _TYPE = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", buf,
+                                           ifd_off + 2 + 12 * i)
+        if typ not in _TYPE:
+            continue                            # rational/ascii: irrelevant
+        unit = {1: 1, 3: 2, 4: 4}[typ]
+        off = ifd_off + 2 + 12 * i + 8
+        if cnt * unit > 4:
+            (off,) = struct.unpack_from(f"{e}I", buf, off)
+        tags[tag] = list(struct.unpack_from(f"{e}{cnt}{_TYPE[typ]}",
+                                            buf, off))
+    w, h = tags[256][0], tags[257][0]
+    c = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * c)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits) or planar != 1:
+        raise NotImplementedError(
+            f"TIFF supports 8-bit chunky only (bits={bits}, planar={planar})")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    rps = tags.get(278, [h])[0]
+    offsets, counts = tags[273], tags[279]
+    parts = []
+    for k, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - k * rps)
+        expect = rows * w * c
+        if comp == 1:
+            parts.append(np.frombuffer(buf, np.uint8, expect, off))
+        else:
+            parts.append(_packbits_decode(buf[off:off + cnt], expect))
+    img = np.concatenate(parts).reshape(h, w, c)
+    if photo == 0:                              # WhiteIsZero: invert
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
 # -- builtin GIF codec (public spec; LZW) -------------------------------------
 
 def encode_gif(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
@@ -531,6 +688,8 @@ class ImageDecoder:
             return decode_bmp(b)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(b)
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff(b)
         return decode_png(b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -994,6 +1153,41 @@ def make_bmp_gif_fixture(n: int = 64, seed: int = 42) -> pa.Table:
     return pa.table({"item_id": pa.array(ids, pa.int64()),
                      "data": pa.array(blobs, pa.binary()),
                      "true_format": pa.array(fmt, pa.string()),
+                     "true_width": pa.array(tw, pa.int32()),
+                     "true_height": pa.array(th, pa.int32()),
+                     "true_channels": pa.array(tc, pa.int32()),
+                     "true_px_sum": pa.array(ts, pa.int64()),
+                     "true_px_sum_gray": pa.array(tsg, pa.int64())})
+
+
+def make_tiff_fixture(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-TIFF fixture: n seeded images cycling through
+    gray/RGB/RGBA × II/MM byte order × uncompressed/PackBits × single/multi
+    strip, plus encode-time truth columns ``(true_width, true_height,
+    true_channels, true_px_sum, true_px_sum_gray)`` (TIFF is lossless, so
+    the truths come straight from the source array)."""
+    rng = np.random.default_rng(seed)
+    chans = [1, 3, 4]
+    ids, blobs, tw, th, tc, ts, tsg = [], [], [], [], [], [], []
+    for i in range(n):
+        c = chans[i % len(chans)]
+        h = int(rng.integers(6, 40))
+        w = int(rng.integers(6, 40))
+        base = (np.arange(h)[:, None] + 2 * np.arange(w)[None, :])[:, :, None]
+        img = ((base * (i + 5) + rng.integers(0, 256, (h, w, c)))
+               % 256).astype(np.uint8)
+        buf = encode_tiff(img, big_endian=bool(i % 2),
+                          packbits=bool((i // 2) % 2),
+                          rows_per_strip=(None if (i // 4) % 2 else 5))
+        ids.append(i)
+        blobs.append(buf)
+        th.append(h)
+        tw.append(w)
+        tc.append(c)
+        ts.append(int(img.sum(dtype=np.int64)))
+        tsg.append(int(_to_grayscale(img).sum(dtype=np.int64)))
+    return pa.table({"item_id": pa.array(ids, pa.int64()),
+                     "data": pa.array(blobs, pa.binary()),
                      "true_width": pa.array(tw, pa.int32()),
                      "true_height": pa.array(th, pa.int32()),
                      "true_channels": pa.array(tc, pa.int32()),

@@ -523,6 +523,53 @@ def test_bmp_codec():
             "<IiiHHI", 40, 2, 2, 1, 24, 1) + bytes(24))   # RLE compression
 
 
+def test_tiff_codec():
+    """Builtin baseline TIFF codec (public TIFF 6.0 spec): II/MM byte
+    orders, gray/RGB/RGBA chunky, multi-strip, PackBits roundtrip against
+    an independent check, WhiteIsZero inversion, error paths."""
+    import struct
+
+    import numpy as np
+
+    from ml_data_pipeline_ray.stages.multimodal import (_packbits_decode,
+                                                        _packbits_encode,
+                                                        decode_tiff,
+                                                        encode_tiff)
+
+    rng = np.random.default_rng(17)
+    for c in (1, 3, 4):
+        for big in (False, True):
+            img = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+            back = decode_tiff(encode_tiff(img, big_endian=big))
+            assert back.shape == img.shape and (back == img).all()
+    # multi-strip + PackBits (runs + literals mixed)
+    img = np.repeat(rng.integers(0, 5, (21, 7, 3), dtype=np.uint8) * 50,
+                    1, axis=0)
+    for big in (False, True):
+        buf = encode_tiff(img, big_endian=big, packbits=True,
+                          rows_per_strip=4)
+        assert (decode_tiff(buf) == img).all()
+    # PackBits kernel roundtrip incl. 128+ runs and max literals
+    raw = bytes([7] * 300) + bytes(range(256)) * 2 + bytes([9, 9])
+    enc = _packbits_encode(raw)
+    assert bytes(_packbits_decode(enc, len(raw))) == raw
+    assert len(enc) < len(raw) + 16
+    # WhiteIsZero (photometric 0): hand-patch the photometric tag value
+    g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    buf = bytearray(encode_tiff(g))
+    i = buf.find(struct.pack("<HHI", 262, 3, 1))
+    assert i > 0
+    buf[i + 8:i + 10] = struct.pack("<H", 0)
+    assert (decode_tiff(bytes(buf)) == (255 - g)[:, :, None]).all()
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"BMjunk")
+    with pytest.raises(NotImplementedError):
+        buf2 = bytearray(encode_tiff(g))
+        j = buf2.find(struct.pack("<HHI", 259, 3, 1))
+        buf2[j + 8:j + 10] = struct.pack("<H", 5)   # LZW: unsupported
+        decode_tiff(bytes(buf2))
+
+
 def _ref_lzw_gif_encode(indices: bytes, min_code: int = 8) -> bytes:
     """Independent textbook GIF-LZW compressor (growing code widths) used
     only to exercise the decoder's width-growth path; derived from the
