@@ -768,48 +768,58 @@ FROM read_parquet('{path}') GROUP BY true_format
 
 
 def _multimodal_mix_path() -> str:
-    """Combined mixed-media fixture: PNG + baseline-JPEG + WAV + Y4M blobs
-    in ONE binary column with encode-time ``modality`` + per-item exact
-    integer ``true_witness`` (image: pixel sum; audio: |sample| sum; video:
+    """Combined mixed-media fixture covering the FULL decodable sniff
+    table: PNG + baseline-JPEG + BMP + GIF + TIFF images, WAV audio and
+    Y4M video blobs in ONE binary column with encode-time ``modality``
+    (= the blob's real format name) + per-item exact integer
+    ``true_witness`` (images: pixel sum; audio: |sample| sum; video:
     luma sum) for the SQL oracle."""
-    from ..stages.multimodal import (make_jpeg_fixture, make_png_fixture,
+    from ..stages.multimodal import (make_bmp_gif_fixture, make_jpeg_fixture,
+                                     make_png_fixture, make_tiff_fixture,
                                      make_wav_fixture, make_y4m_fixture)
 
     d = _scratch("mmcur", "global")
-    path = os.path.join(d, "mixed2.parquet")   # v2: + jpeg arm (round 5)
+    path = os.path.join(d, "mixed3.parquet")   # v3: full sniff table (r5)
     if not os.path.exists(path):
-        png = make_png_fixture(n=48, seed=7)
-        jpg = make_jpeg_fixture(n=48, seed=7)
-        wav = make_wav_fixture(n=48, seed=7)
-        y4m = make_y4m_fixture(n=48, seed=7)
-        ids = pa.array(np.arange(192, dtype=np.int64))
-        modality = pa.array(["image"] * 48 + ["image_jpeg"] * 48
-                            + ["audio"] * 48 + ["video"] * 48)
-        data = pa.concat_arrays([
-            png["data"].combine_chunks(), jpg["data"].combine_chunks(),
-            wav["data"].combine_chunks(), y4m["data"].combine_chunks()])
-        witness = pa.concat_arrays([
-            png["true_px_sum"].combine_chunks(),
-            jpg["true_px_sum"].combine_chunks(),
-            wav["true_abs_sum"].combine_chunks(),
-            y4m["true_y_sum_all"].combine_chunks()])
-        pq.write_table(pa.table({"item_id": ids, "modality": modality,
-                                 "data": data, "true_witness": witness}),
-                       path)
+        arms = []                              # (modality, data, witness)
+        png = make_png_fixture(n=36, seed=7)
+        arms.append(("png", png["data"], png["true_px_sum"]))
+        jpg = make_jpeg_fixture(n=36, seed=7)
+        arms.append(("jpeg", jpg["data"], jpg["true_px_sum"]))
+        bg = make_bmp_gif_fixture(n=72, seed=7)   # alternating bmp/gif
+        for fmt in ("bmp", "gif"):
+            m = bg.filter(pc.equal(bg["true_format"], fmt))
+            arms.append((fmt, m["data"], m["true_px_sum"]))
+        tif = make_tiff_fixture(n=36, seed=7)
+        arms.append(("tiff", tif["data"], tif["true_px_sum"]))
+        wav = make_wav_fixture(n=36, seed=7)
+        arms.append(("wav", wav["data"], wav["true_abs_sum"]))
+        y4m = make_y4m_fixture(n=36, seed=7)
+        arms.append(("y4m", y4m["data"], y4m["true_y_sum_all"]))
+        n_total = sum(len(d_) for _, d_, _ in arms)
+        modality = pa.array([m for m, d_, _ in arms for _ in range(len(d_))])
+        data = pa.concat_arrays([d_.combine_chunks() for _, d_, _ in arms])
+        witness = pa.concat_arrays(
+            [w.combine_chunks() for _, _, w in arms])
+        pq.write_table(pa.table({
+            "item_id": pa.array(np.arange(n_total, dtype=np.int64)),
+            "modality": modality, "data": data, "true_witness": witness}),
+            path)
     return path
 
 
 def multimodal_curation(sf_dir: str) -> pd.DataFrame:
-    """Flagship multimodal pipeline: ONE mixed binary table (PNG + baseline
-    JPEG images + WAV audio + Y4M video interleaved) → vectorized
-    magic-byte sniff →
-    the sniffed format ROUTES each blob to its real spec-based decoder in
-    an actor pool → each decoder recomputes an exact integer witness from
-    the decoded payload (pixels / PCM samples / luma planes) → union →
-    grouped aggregate per modality. The modality column is NOT read by
-    the Ray side — routing is pure sniff — so a mis-sniffed magic, a
-    wrong route, or any decode bug changes the hash vs encode-time
-    truth."""
+    """Flagship multimodal pipeline over the FULL decodable sniff table:
+    ONE mixed binary table (PNG + baseline JPEG + BMP + GIF + TIFF images,
+    WAV audio, Y4M video interleaved) → vectorized magic-byte sniff → the
+    sniffed format ROUTES each blob to its real spec-based decoder in an
+    actor pool (ONE image pool handles all five image formats — the
+    per-blob magic dispatch lives inside ``ImageDecoder``) → each decoder
+    recomputes an exact integer witness from the decoded payload (pixels /
+    PCM samples / luma planes) → union → grouped aggregate per sniffed
+    format. The modality column is NOT read by the Ray side — routing is
+    pure sniff — so a mis-sniffed magic, a wrong route, or any decode bug
+    changes the hash vs encode-time truth."""
     from ..stages.multimodal import (AudioDecoder, ImageDecoder,
                                      VideoDecoder, sniff_format)
 
@@ -817,31 +827,35 @@ def multimodal_curation(sf_dir: str) -> pd.DataFrame:
     sniffed = ds.map_batches(sniff_format, batch_format="pyarrow",
                              zero_copy_batch=True).materialize()
 
-    def branch(fmt: str, decoder_cls, witness_col: str, modality: str):
-        sub = sniffed.filter(expr=f"format == '{fmt}'")
-        # the union runs all FOUR decode branches concurrently; at
-        # num_cpus=1 even min-1 autoscaling pools would pin 4 whole CPUs
-        # and starve the upstream filter tasks on a small (4-cpu test)
-        # cluster — a scheduling deadlock. Half-CPU actors keep the four
-        # pools at ≤2 CPU total; decode is single-threaded Python, so the
-        # worst case is mild oversubscription, never starvation.
+    def branch(fmts: tuple[str, ...], decoder_cls, witness_col: str):
+        pred = " or ".join(f"format == '{f}'" for f in fmts)
+        sub = sniffed.filter(expr=pred)
+        # the union runs all THREE decode branches concurrently; at
+        # num_cpus=1, min-1 autoscaling pools could pin most CPUs and
+        # starve the upstream filter tasks on a small (4-cpu test)
+        # cluster — a scheduling deadlock (hit when this was 4 branches).
+        # Half-CPU actors keep the pools at ≤2 CPU total at min scale;
+        # decode is single-threaded Python, so the worst case is mild
+        # oversubscription, never starvation.
         dec = sub.map_batches(decoder_cls, batch_format="pyarrow",
-                              concurrency=(1, 2), batch_size=32,
+                              concurrency=(1, 4), batch_size=32,
                               num_cpus=0.5)
 
         def pick(b: pa.Table) -> pa.Table:
+            # modality = the SNIFFED format (carried through the decoder),
+            # never the fixture's stored label
             return pa.table({
-                "modality": pa.array([modality] * b.num_rows),
+                "modality": b.column("format"),
                 "witness": b.column(witness_col).cast(pa.int64()),
             })
 
         return dec.map_batches(pick, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    merged = (branch("png", ImageDecoder, "px_sum", "image")
-              .union(branch("jpeg", ImageDecoder, "px_sum", "image_jpeg"))
-              .union(branch("wav", AudioDecoder, "abs_sum", "audio"))
-              .union(branch("y4m", VideoDecoder, "y_sum", "video")))
+    merged = (branch(("png", "jpeg", "bmp", "gif", "tiff"),
+                     ImageDecoder, "px_sum")
+              .union(branch(("wav",), AudioDecoder, "abs_sum"))
+              .union(branch(("y4m",), VideoDecoder, "y_sum")))
     from ..stages.groupagg import grouped_agg
     out = grouped_agg(merged, keys=["modality"],
                       aggs=[(None, "count_star", "n"),
