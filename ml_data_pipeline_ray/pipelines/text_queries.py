@@ -245,8 +245,17 @@ def _queries(sf_dir: str, n: int = 10):
     driver (the query side is tiny by definition; the corpus side stays a
     Dataset)."""
     pf = pq.ParquetFile(_t(sf_dir, "embeddings"))
-    head = next(pf.iter_batches(batch_size=n,
-                                columns=["vec_id", "embedding"]))
+    # accumulate across batches: pyarrow batches never span row groups, so
+    # a writer with tiny row groups could hand back fewer than n rows in
+    # the first batch (and an empty file would StopIteration)
+    got, rows = 0, []
+    for b in pf.iter_batches(batch_size=n, columns=["vec_id", "embedding"]):
+        rows.append(b)
+        got += b.num_rows
+        if got >= n:
+            break
+    head = pa.Table.from_batches(
+        rows, schema=rows[0].schema if rows else None).slice(0, n)
     ids = head.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     m = np.vstack(head.column("embedding").to_numpy(
         zero_copy_only=False)).astype(np.float64)

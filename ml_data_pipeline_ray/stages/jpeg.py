@@ -280,7 +280,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     if gray:
         planes = [img[:, :, 0].astype(np.float64)]
         samp = [(1, 1)]
-        qtab = [qy]
     else:
         ycc = _rgb_to_ycbcr(img)
         if sub == "444":
@@ -295,7 +294,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
             cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             planes = [y, cb, cr]
             samp = [(2, 2), (1, 1), (1, 1)]
-        qtab = [qy, qc, qc]
 
     hmax = max(sh for sh, _ in samp)
     vmax = max(sv for _, sv in samp)
@@ -441,6 +439,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"bad marker sync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while buf[pos + 1] == 0xFF and pos + 4 <= len(buf):
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:                                # EOI
             break
@@ -486,6 +487,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:                              # SOS
             ns = payload[0]
+            if ns != len(comps):
+                # a T.81-legal multi-scan (non-interleaved) baseline file:
+                # decoding only the first scan would silently return a
+                # single-component image with wrong block geometry
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan baseline JPEG "
+                    f"(scan has {ns} of {len(comps)} components)")
             scan = []
             for ci in range(ns):
                 cid, tt = payload[1 + 2 * ci:3 + 2 * ci]
@@ -494,13 +502,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comp["ac"] = htables[(1, tt & 15)]
                 scan.append(comp)
             br = _BitReader(buf, pos)
-            return _decode_scan(buf, br, scan, qtables, h, w,
+            return _decode_scan(br, scan, qtables, h, w,
                                 restart_interval)
         # else: APPn / COM / others — skipped
     raise ValueError("truncated JPEG (no SOS)")
 
 
-def _decode_scan(buf: bytes, br: _BitReader, scan: list[dict],
+def _decode_scan(br: _BitReader, scan: list[dict],
                  qtables: dict, h: int, w: int,
                  restart_interval: int) -> np.ndarray:
     hmax = max(c["h"] for c in scan)

@@ -88,6 +88,18 @@ def sniff_format(batch: pa.Table, data_col: str = "data") -> pa.Table:
     return batch.append_column("format", fmt)
 
 
+def sniff_one(b: bytes) -> str:
+    """Single-blob magic sniff from the SAME table :func:`sniff_format`
+    uses — keeps per-blob decode routing and the vectorized sniff stage
+    consistent by construction."""
+    for magic, name in IMAGE_MAGIC:
+        if b[:len(magic)] == magic:
+            if name == "webp_or_wav":
+                return "wav" if b[8:12] == b"WAVE" else "webp"
+            return name
+    return "unknown"
+
+
 # -- builtin PNG codec (public spec; 8-bit, non-interlaced) ------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -117,10 +129,9 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
         return lines.tobytes()
 
     if interlace:
-        raw = b"".join(
-            scanlines(img[y0::dy, x0::dx])
-            for (x0, dx, y0, dy) in _ADAM7
-            if img[y0::dy, x0::dx].shape[0] and img[y0::dy, x0::dx].shape[1])
+        subs = (img[y0::dy, x0::dx] for (x0, dx, y0, dy) in _ADAM7)
+        raw = b"".join(scanlines(s) for s in subs
+                       if s.shape[0] and s.shape[1])
     else:
         raw = scanlines(img)
     idat = zlib.compress(raw, 6)
@@ -642,6 +653,23 @@ def _to_grayscale(img: np.ndarray) -> np.ndarray:
     return luma.astype(np.uint8)[:, :, None]
 
 
+def _decode_jpeg_lazy(b: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+    return decode_jpeg(b)
+
+
+#: sniffed format -> builtin decoder; a format present in IMAGE_MAGIC but
+#: absent here (webp, unknown) raises a clear NotImplementedError in
+#: ImageDecoder instead of falling through to the wrong codec
+_IMAGE_DECODERS = {
+    "png": decode_png,
+    "jpeg": _decode_jpeg_lazy,
+    "bmp": decode_bmp,
+    "gif": decode_gif,
+    "tiff": decode_tiff,
+}
+
+
 class ImageDecoder:
     """Actor-pool decode/feature stage over a binary image column.
 
@@ -681,16 +709,13 @@ class ImageDecoder:
             img = np.asarray(self._pil.open(io.BytesIO(buf)).convert("RGBA"))
             return np.ascontiguousarray(img, dtype=np.uint8)
         b = bytes(buf)
-        if b[:3] == b"\xff\xd8\xff":          # magic-routed builtin codecs
-            from .jpeg import decode_jpeg
-            return decode_jpeg(b)
-        if b[:2] == b"BM":
-            return decode_bmp(b)
-        if b[:6] in (b"GIF87a", b"GIF89a"):
-            return decode_gif(b)
-        if b[:4] in (b"II*\x00", b"MM\x00*"):
-            return decode_tiff(b)
-        return decode_png(b)
+        fmt = sniff_one(b)                    # same table sniff_format uses
+        dec = _IMAGE_DECODERS.get(fmt)
+        if dec is None:
+            raise NotImplementedError(
+                f"no builtin decoder for sniffed format {fmt!r} "
+                "(PIL not available)")
+        return dec(b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.fake:

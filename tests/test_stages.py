@@ -523,6 +523,40 @@ def test_bmp_codec():
             "<IiiHHI", 40, 2, 2, 1, 24, 1) + bytes(24))   # RLE compression
 
 
+def test_jpeg_fill_bytes_and_multiscan_refusal():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker) must parse;
+    non-interleaved multi-scan baseline (ns < frame components) must raise
+    instead of silently decoding one component; unknown sniffed formats
+    get a clear routing error."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ml_data_pipeline_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from ml_data_pipeline_ray.stages.multimodal import ImageDecoder
+
+    img = np.stack([(np.arange(24)[:, None] * 3 + np.arange(16)[None, :]
+                     + 40 * ch) % 256 for ch in range(3)],
+                   axis=2).astype(np.uint8)
+    buf = encode_jpeg(img, quality=90, subsampling="444")
+    s = buf.find(b"\xff\xda")
+    assert s > 0
+    # legal fill bytes before SOS (and before EOI) decode identically
+    padded = buf[:s] + b"\xff\xff\xff" + buf[s:]
+    assert (decode_jpeg(padded) == decode_jpeg(buf)).all()
+    # a 3-component frame whose first SOS carries only 1 component
+    sos_end = s + 2 + int.from_bytes(buf[s + 2:s + 4], "big")
+    one_comp = (b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+                + bytes([1]) + buf[s + 5:s + 7] + b"\x00\x3f\x00")
+    multiscan = buf[:s] + one_comp + buf[sos_end:]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(multiscan)
+    # sniffed-but-undecodable format: clear routing error, not 'not a PNG'
+    webp = b"RIFF" + bytes(4) + b"WEBPVP8 " + bytes(16)
+    t = pa.table({"data": pa.array([webp], type=pa.large_binary())})
+    with pytest.raises(Exception, match="webp"):
+        ImageDecoder()(t)
+
+
 def test_tiff_codec():
     """Builtin baseline TIFF codec (public TIFF 6.0 spec): II/MM byte
     orders, gray/RGB/RGBA chunky, multi-strip, PackBits roundtrip against
