@@ -16,7 +16,7 @@ from ..sources.readers import read_parquet
 from ..stages import text as T
 from ..stages.packing import pack_by_token_budget
 from ..stages.sampling import mixture_sample
-from ..stages.topk import topk
+from ..stages.topk import grouped_topk, topk
 from ..stages.ann import brute_force_topk, cosine_pairs_bucketed, ivf_topk
 from ..stages.dedup import (exact_dedup, minhash_candidate_pairs,
                             simhash_candidate_pairs, verify_candidate_pairs)
@@ -155,6 +155,30 @@ def docs_vocab_topk(sf_dir: str) -> pd.DataFrame:
     agg = grouped_agg(partial, keys=["token"], aggs=[("n", "sum", "n")])
     return topk(agg, by=["n", "token"], k=50,
                 descending=[True, False]).reset_index(drop=True)
+
+
+def docs_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-source document cap — the web-curation "domain cap" primitive
+    (bound any one domain's share of the corpus): keep the top-5 docs per
+    source by (n_chars DESC, doc_id ASC). Runs as map-side-pruned grouped
+    top-k (:func:`..stages.topk.grouped_topk`): each block keeps ≤5 rows
+    per source it contains, so at most 5 × sources × blocks candidate rows
+    leave the scan — the corpus itself never shuffles."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "n_chars"])
+    out = grouped_topk(ds, group="source", by=["n_chars", "doc_id"], k=5,
+                       descending=[True, False])
+    return (out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+            [["source", "doc_id", "n_chars"]])
+
+
+SQL_DOCS_SOURCE_CAP = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
 
 
 # -- exact dedup ------------------------------------------------------------
