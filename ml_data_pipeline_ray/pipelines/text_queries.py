@@ -181,6 +181,95 @@ SELECT source, doc_id, n_chars FROM (
 """
 
 
+def docs_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split — the corpus-prep staple: bucket
+    every doc by a Knuth multiplicative hash of its id (stable across runs,
+    machines and engines; NO random_shuffle), 90/5/5, and report per
+    (split, lang) doc counts + char volume. Pure map + one tiny
+    ``grouped_agg`` exchange of <= splits x langs x blocks partial rows;
+    at corpus scale the split column would feed partitioned writes
+    (``write_parquet(partition_cols=['split'])``) instead of an agg."""
+    from ..stages.groupagg import grouped_agg
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "n_chars"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+                % np.uint64(100)
+        split = np.where(bucket < 90, "train",
+                         np.where(bucket < 95, "val", "test"))
+        return b.append_column("split", pa.array(split))
+
+    out = grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["split", "lang"],
+        aggs=[(None, "count_star", "n_docs"),
+              ("n_chars", "sum", "sum_chars")]).to_pandas()
+    return (out.sort_values(["split", "lang"]).reset_index(drop=True)
+            [["split", "lang", "n_docs", "sum_chars"]])
+
+
+#: doc_id * 2654435761 stays < 2^63 for any plausible doc_id (~3.5e9 docs),
+#: so the signed SQL product and the engine's uint64 product agree exactly
+SQL_DOCS_TRAIN_SPLIT = """
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+         AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT lang, n_chars,
+             (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def docs_dup_ngram_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring duplication scoring (Lee et al. 2022 signal over
+    word 5-grams): per doc, distinct 5-token shingles + how many appear in
+    another doc; only docs with >= 1 duplicated span are returned. See
+    :func:`..stages.dedup.duplicate_shingle_stats` for the two-exchange
+    scale shape. Oracle: string 5-grams in DuckDB (engine side uses mixed
+    64-bit shingle hashes — equality asserted by the gate)."""
+    from ..stages.dedup import duplicate_shingle_stats
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    stats = duplicate_shingle_stats(ds, k=5)
+    stats = stats.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_dup_grams"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (stats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_grams", "n_dup_grams"]])
+
+
+#: same tokenization contract as the engine (lower + [a-z0-9]+ runs); a
+#: doc shorter than 5 tokens contributes its single truncated gram, like
+#: the engine's clamped shingle window
+SQL_DOCS_DUP_NGRAM_SPANS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, least(len(ws), 1)) + 1))
+                 AS i
+        FROM toks)
+),
+gd AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams
+FROM grams g JOIN gd USING (gram)
+GROUP BY g.doc_id
+HAVING n_dup_grams >= 1
+ORDER BY doc_id
+"""
+
+
 # -- exact dedup ------------------------------------------------------------
 
 def dedup_exact_events(sf_dir: str) -> pd.DataFrame:

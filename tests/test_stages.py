@@ -934,3 +934,59 @@ def test_repetition_partial_flags_and_counts():
     # empty batch stays typed
     empty = repetition_partial(t.slice(2, 1))
     assert empty.num_rows == 0 and empty["n_docs"].type == pa.int64()
+
+
+def test_duplicate_shingle_stats_vs_string_oracle(ray_session):
+    """duplicate_shingle_stats (hashed 5-gram engine path, two exchanges)
+    vs a brute-force STRING 5-gram oracle, incl. short-doc clamped grams,
+    intra-doc repeats (deduped), and an empty doc (absent)."""
+    import random
+
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.dedup import duplicate_shingle_stats
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram span
+    rows = []
+    for i in range(60):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 30))]
+        text = " ".join(words)
+        if i % 7 == 0:
+            text = (text + " " + shared).strip()
+        if i == 13:
+            text = "tiny doc"        # <5 tokens -> single clamped gram
+        if i == 14:
+            text = "tiny doc"        # its duplicate
+        if i == 15:
+            text = ""                # no tokens -> absent from output
+        rows.append({"doc_id": i, "text": text})
+
+    # brute-force string oracle (same tokenization contract)
+    import re
+    grams_of = {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if not toks:
+            continue
+        n = len(toks)
+        if n < 5:
+            grams_of[r["doc_id"]] = {" ".join(toks)}
+        else:
+            grams_of[r["doc_id"]] = {" ".join(toks[i:i + 5])
+                                     for i in range(n - 4)}
+    holders = {}
+    for d, gs in grams_of.items():
+        for g in gs:
+            holders.setdefault(g, set()).add(d)
+    want = {d: (len(gs), sum(1 for g in gs if len(holders[g]) >= 2))
+            for d, gs in grams_of.items()}
+
+    ds = rd.from_items(rows).repartition(5)
+    got = duplicate_shingle_stats(ds, k=5).to_pandas()
+    got_map = {int(r.doc_id): (int(r.n_grams), int(r.n_dup_grams))
+               for r in got.itertuples()}
+    assert got_map == want
+    assert want[13] == (1, 1) and want[14] == (1, 1)   # clamped-gram dup
+    assert 15 not in got_map                           # empty doc absent
+    assert any(v[1] >= 1 for v in want.values())       # shared span seen
