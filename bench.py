@@ -68,7 +68,8 @@ QUERY_SUITE = [
     "ann_topk_filtered", "events_value_histogram", "docs_repetition_scores",
     # round 5 additions
     "jpeg_decode_stats", "bmp_gif_decode_stats", "tiff_decode_stats",
-    "docs_source_cap",
+    "docs_source_cap", "docs_train_split", "docs_dup_ngram_spans",
+    "docs_bigram_logprob",
 ]
 
 

@@ -270,6 +270,59 @@ ORDER BY doc_id
 """
 
 
+def docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """CCNet/Gopher-style LM quality scoring: train an add-0.5-smoothed
+    word-bigram LM on the corpus (one `grouped_agg` exchange of distinct
+    bigram-count partials, vocab²-bounded model broadcast once via
+    ``ray.put``), then score every doc's bigram occurrences in a single
+    shuffle-free actor-pool pass. Output is integer-exact: ``lp_micro_sum``
+    = Σ floor(1e6·ln P(w2|w1)) per doc (same IEEE doubles + libm ln on both
+    engines, so no float-sum-order divergence); the avg-log-likelihood
+    filter threshold is ``lp_micro_sum / n_bigrams / 1e6``."""
+    import ray
+
+    from ..stages.text import BigramLMScorer, build_bigram_lm
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    kp, lpm, _ = build_bigram_lm(ds)
+    ref = ray.put({"kp": kp, "lpm": lpm})
+    out = ds.map_batches(BigramLMScorer, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4))
+    return (out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_bigrams", "lp_micro_sum"]])
+
+
+#: engine contract: identical tokenization ([a-z0-9]+ runs of lower(text)),
+#: identical smoothing arithmetic in IEEE doubles, floor(1e6·ln) per bigram
+#: as int64 micro-units so per-doc sums are order-independent and exact
+SQL_DOCS_BIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+        FROM toks)
+),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS vocab
+      FROM (SELECT w1 AS w FROM big UNION SELECT w2 AS w FROM big)),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((cb.c2 + 0.5) / (cu.c1 + 0.5 * v.vocab)) * 1000000)
+              AS BIGINT) AS lpm
+  FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lpm) AS BIGINT) AS lp_micro_sum
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # -- exact dedup ------------------------------------------------------------
 
 def dedup_exact_events(sf_dir: str) -> pd.DataFrame:

@@ -345,6 +345,137 @@ class TfIdfTopTerm:
         })
 
 
+def _bigram_keys(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row word-bigram hash triples: returns ``(h1, h2, packed_key,
+    row_of)`` flat arrays over the batch (rows with <2 tokens contribute
+    nothing). Tokenization contract = :func:`..dedup.tokenize_offsets`
+    (lower + ``[a-z0-9]+`` runs, matching the DuckDB oracles)."""
+    from .dedup import _mix64, tokenize_offsets
+
+    th, counts = tokenize_offsets(texts)
+    n_big = np.maximum(counts - 1, 0)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    b_starts = np.concatenate(([0], np.cumsum(n_big)[:-1]))
+    total = int(n_big.sum())
+    if total == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, z, np.zeros(0, np.int64)
+    local = np.arange(total, dtype=np.int64) - np.repeat(b_starts, n_big)
+    row = np.repeat(np.arange(counts.size, dtype=np.int64), n_big)
+    g = starts[row] + local
+    h1, h2 = th[g], th[g + 1]
+    with np.errstate(over="ignore"):
+        kp = _mix64(h1 * np.uint64(0x100000001B3) + h2)
+    return h1, h2, kp, row
+
+
+def build_bigram_lm(ds, text_col: str = "text"):
+    """Distributed add-0.5-smoothed bigram LM over the corpus (the CCNet /
+    Gopher "perplexity filter" model): map-side distinct bigram-count
+    partials → ONE :func:`grouped_agg` exchange keyed on the packed bigram
+    hash → a vocab²-bounded model table on the driver (same broadcast shape
+    as :func:`build_doc_freq`; at open-web scale you would prune to top-K
+    bigrams before broadcasting — documented, not needed at test SF).
+
+    Returns ``(kp_sorted, lpm_sorted, n_model_rows)`` where ``lpm =
+    floor(1e6 · ln((c2+0.5)/(c1+0.5·V)))`` as int64 micro-units —
+    integer-exact to sum in any order, and bit-identical to DuckDB's
+    ``floor(ln(...) * 1000000)`` because the ratio is the same IEEE double
+    and ``math.log`` is the same correctly-rounded libm path as DuckDB's
+    ``ln`` (see :class:`TfIdfTopTerm`)."""
+    import math
+
+    from .groupagg import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2, kp, _ = _bigram_keys(batch.column(text_col))
+        order = np.argsort(kp, kind="stable")
+        kps, h1s, h2s = kp[order], h1[order], h2[order]
+        first = (np.flatnonzero(np.concatenate(
+            ([True], kps[1:] != kps[:-1]))) if kps.size
+            else np.zeros(0, np.int64))
+        seg = np.append(first, kps.size)
+        return pa.table({"kp": pa.array(kps[first]),
+                         "h1": pa.array(h1s[first]),
+                         "h2": pa.array(h2s[first]),
+                         "c": pa.array(np.diff(seg).astype(np.int64))})
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["kp"],
+        aggs=[("c", "sum", "c"), ("h1", "max", "h1"), ("h2", "max", "h2")])
+    tbl = pa.concat_tables([t for t in _collect_refs(agg) if t.num_rows],
+                           promote_options="permissive")
+    kp = tbl.column("kp").to_numpy(zero_copy_only=False)
+    h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+    h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+    c2 = tbl.column("c").to_numpy(zero_copy_only=False)
+    vocab = np.unique(np.concatenate([h1, h2])).size
+    # c1 per h1 = sum of its bigram counts (occurrences as first token)
+    o = np.argsort(h1, kind="stable")
+    h1s, c2s = h1[o], c2[o]
+    first = np.flatnonzero(np.concatenate(([True], h1s[1:] != h1s[:-1]))) \
+        if h1s.size else np.zeros(0, np.int64)
+    c1 = np.empty_like(c2)
+    if h1s.size:
+        c1_per = np.add.reduceat(c2s, first)
+        c1[o] = np.repeat(c1_per, np.diff(np.append(first, h1s.size)))
+    # lp per model row via memoized math.log over distinct (c2, c1) pairs
+    memo: dict[tuple[int, int], int] = {}
+    half_v = 0.5 * vocab
+    lpm = np.empty(c2.size, np.int64)
+    for i in range(c2.size):
+        key = (int(c2[i]), int(c1[i]))
+        v = memo.get(key)
+        if v is None:
+            v = math.floor(math.log((key[0] + 0.5) / (key[1] + half_v))
+                           * 1000000.0)
+            memo[key] = v
+        lpm[i] = v
+    o = np.argsort(kp, kind="stable")
+    return kp[o], lpm[o], kp.size
+
+
+class BigramLMScorer:
+    """Actor-pool scoring stage against the broadcast bigram LM: per doc,
+    the number of bigram occurrences and the integer-exact sum of their
+    ``lp_micro`` scores (``lp_micro_sum / n_bigrams / 1e6`` ≈ avg token
+    log-likelihood — the CCNet quality/perplexity signal). Docs with <2
+    tokens emit nothing, like the SQL oracle's empty bigram list."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self._ref = model_ref
+        self.kp = None
+        self.text_col, self.id_col = text_col, id_col
+
+    def _resolve(self):
+        import ray as _ray
+        d = (_ray.get(self._ref)
+             if isinstance(self._ref, _ray.ObjectRef) else self._ref)
+        self.kp, self.lpm = d["kp"], d["lpm"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.kp is None:
+            self._resolve()
+        _, _, kp, row = _bigram_keys(batch.column(self.text_col))
+        ix = np.searchsorted(self.kp, kp)
+        # every scored bigram exists in the model (it was built on the
+        # same corpus); clip only guards an empty model
+        ix = np.minimum(ix, max(self.kp.size - 1, 0))
+        lpm = self.lpm[ix] if self.kp.size else np.zeros(kp.size, np.int64)
+        n_rows = batch.num_rows
+        n_big = np.bincount(row, minlength=n_rows).astype(np.int64)
+        # float64 bincount weights are exact for |int| < 2^53
+        s = np.bincount(row, weights=lpm.astype(np.float64),
+                        minlength=n_rows).astype(np.int64)
+        has = n_big > 0
+        ids = batch.column(self.id_col).filter(pa.array(has))
+        return pa.table({self.id_col: ids,
+                         "n_bigrams": pa.array(n_big[has]),
+                         "lp_micro_sum": pa.array(s[has])})
+
+
 def repetition_partial(batch: pa.Table, id_col: str = "doc_id",
                        group_col: str = "source",
                        text_col: str = "text") -> pa.Table:

@@ -990,3 +990,53 @@ def test_duplicate_shingle_stats_vs_string_oracle(ray_session):
     assert want[13] == (1, 1) and want[14] == (1, 1)   # clamped-gram dup
     assert 15 not in got_map                           # empty doc absent
     assert any(v[1] >= 1 for v in want.values())       # shared span seen
+
+
+def test_bigram_lm_vs_python_oracle(ray_session):
+    """build_bigram_lm + BigramLMScorer vs a pure-Python string-bigram
+    oracle with the same smoothing/floor contract: repeated bigrams,
+    single-token and empty docs (absent), cross-doc sharing."""
+    import math
+    import re
+
+    import ray
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.text import (BigramLMScorer,
+                                                  build_bigram_lm)
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat the cat ran"},
+        {"doc_id": 1, "text": "the cat sat on a hat"},
+        {"doc_id": 2, "text": "single"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "THE CAT    sat\n on the mat"},  # case/ws folding
+    ]
+    # oracle: string bigrams, add-0.5 smoothing, floor(1e6*ln)
+    bigs, c2, c1 = {}, {}, {}
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", r["text"].lower())
+        bs = list(zip(toks, toks[1:]))
+        bigs[r["doc_id"]] = bs
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    vocab = len({w for b in c2 for w in b})
+    want = {}
+    for d, bs in bigs.items():
+        if not bs:
+            continue
+        s = sum(math.floor(math.log((c2[b] + 0.5) / (c1[b[0]] + 0.5 * vocab))
+                           * 1000000.0) for b in bs)
+        want[d] = (len(bs), s)
+
+    ds = rd.from_items(rows).repartition(3)
+    kp, lpm, n_model = build_bigram_lm(ds)
+    assert n_model == len(c2)
+    ref = ray.put({"kp": kp, "lpm": lpm})
+    got = ds.map_batches(BigramLMScorer, fn_constructor_args=(ref,),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 2)).to_pandas()
+    got_map = {int(r.doc_id): (int(r.n_bigrams), int(r.lp_micro_sum))
+               for r in got.itertuples()}
+    assert got_map == want
+    assert 2 not in got_map and 3 not in got_map
