@@ -69,7 +69,7 @@ QUERY_SUITE = [
     # round 5 additions
     "jpeg_decode_stats", "bmp_gif_decode_stats", "tiff_decode_stats",
     "docs_source_cap", "docs_train_split", "docs_dup_ngram_spans",
-    "docs_bigram_logprob",
+    "docs_bigram_logprob", "docs_bpe_token_count",
 ]
 
 

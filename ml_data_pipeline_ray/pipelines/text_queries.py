@@ -270,6 +270,30 @@ ORDER BY doc_id
 """
 
 
+def docs_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-free LLM token budgeting: per doc, GPT-2-style BPE
+    pre-tokenizer match count + whitespace word count (the two standard
+    cheap estimates used for packing budgets and per-domain token
+    accounting). Pure shuffle-free RE2 scan; both engines run the SAME
+    pattern under RE2 so the counts are exact, not approximate."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(T.add_bpe_token_stats, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return (out.select_columns(["doc_id", "n_bpe_tokens", "n_ws_tokens"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_DOCS_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+         AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+         AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """CCNet/Gopher-style LM quality scoring: train an add-0.5-smoothed
     word-bigram LM on the corpus (one `grouped_agg` exchange of distinct

@@ -20,6 +20,14 @@ import pyarrow.compute as pc
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 DIGIT_RE = r"[0-9]"
+#: GPT-2-style BPE pre-tokenizer, RE2-safe (no lookahead — the original's
+#: ``\s+(?!\S)`` branch is dropped, so runs of whitespace count as one
+#: token instead of splitting before the next word; ASCII classes stand in
+#: for \p{L}/\p{N}). Arrow's count_substring_regex and DuckDB's
+#: regexp_extract_all are both RE2 leftmost-first, so counts are exact
+#: across engines (asserted incl. non-ASCII in tests).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+WS_TOKEN_RE = r"[^\s]+"
 STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "a"]
 #: per-language stopword profiles for the n-gram/stopword language heuristic
 LANG_PROFILES: dict[str, list[str]] = {
@@ -63,6 +71,19 @@ def add_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("n_tokens", n_tokens)
     batch = batch.append_column("n_chars_text", n_chars)
     return batch
+
+
+def add_bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_bpe_tokens`` (GPT-2-style pre-tokenizer match count — the
+    cheap LLM-token-budget estimate that needs no vocabulary) and
+    ``n_ws_tokens`` (whitespace-separated word count)."""
+    text = batch.column(text_col)
+    batch = batch.append_column(
+        "n_bpe_tokens",
+        pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64()))
+    return batch.append_column(
+        "n_ws_tokens",
+        pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64()))
 
 
 def add_quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -1040,3 +1040,25 @@ def test_bigram_lm_vs_python_oracle(ray_session):
                for r in got.itertuples()}
     assert got_map == want
     assert 2 not in got_map and 3 not in got_map
+
+
+def test_bpe_token_regex_arrow_duckdb_parity():
+    """BPE_TOKEN_RE / WS_TOKEN_RE count identically under Arrow's
+    count_substring_regex and DuckDB's regexp_extract_all (both RE2),
+    incl. contractions, whitespace runs, and non-ASCII."""
+    import duckdb
+    from ml_data_pipeline_ray.stages.text import add_bpe_token_stats
+
+    texts = ["Hello world, it's a test!", "  spaces   and\ttabs\n",
+             "don't stop 123abc #42", "", "l'école café ñ", "a'b's",
+             "x''y", "won't we'll they're I'd you've I'm he's 'tis"]
+    got = add_bpe_token_stats(pa.table({"text": pa.array(texts)}))
+    con = duckdb.connect()
+    want = con.execute("""
+      SELECT len(regexp_extract_all(t,
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+          AS b,
+        len(regexp_extract_all(t, '[^\\s]+')) AS w
+      FROM (SELECT unnest(?) AS t)""", [texts]).df()
+    assert got["n_bpe_tokens"].to_pylist() == want["b"].tolist()
+    assert got["n_ws_tokens"].to_pylist() == want["w"].tolist()
