@@ -239,7 +239,11 @@ def docs_dup_ngram_spans(sf_dir: str) -> pd.DataFrame:
     stats = stats.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_dup_grams"], 1)),
         batch_format="pyarrow", zero_copy_batch=True)
-    return (stats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = stats.to_pandas()
+    if df.empty:  # schema-less empty exchange (no doc yields a token)
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("doc_id", "n_grams", "n_dup_grams")})
+    return (df.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "n_grams", "n_dup_grams"]])
 
 
@@ -308,8 +312,8 @@ def docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import BigramLMScorer, build_bigram_lm
 
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    kp, lpm, _ = build_bigram_lm(ds)
-    ref = ray.put({"kp": kp, "lpm": lpm})
+    kp, lpm, _, unseen = build_bigram_lm(ds)
+    ref = ray.put({"kp": kp, "lpm": lpm, "unseen_lpm": unseen})
     out = ds.map_batches(BigramLMScorer, fn_constructor_args=(ref,),
                          batch_format="pyarrow", zero_copy_batch=True,
                          concurrency=(1, 4))

@@ -398,7 +398,8 @@ def build_bigram_lm(ds, text_col: str = "text"):
     as :func:`build_doc_freq`; at open-web scale you would prune to top-K
     bigrams before broadcasting — documented, not needed at test SF).
 
-    Returns ``(kp_sorted, lpm_sorted, n_model_rows)`` where ``lpm =
+    Returns ``(kp_sorted, lpm_sorted, n_model_rows, unseen_lp_micro)``
+    where ``lpm =
     floor(1e6 · ln((c2+0.5)/(c1+0.5·V)))`` as int64 micro-units —
     integer-exact to sum in any order, and bit-identical to DuckDB's
     ``floor(ln(...) * 1000000)`` because the ratio is the same IEEE double
@@ -425,8 +426,10 @@ def build_bigram_lm(ds, text_col: str = "text"):
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         keys=["kp"],
         aggs=[("c", "sum", "c"), ("h1", "max", "h1"), ("h2", "max", "h2")])
-    tbl = pa.concat_tables([t for t in _collect_refs(agg) if t.num_rows],
-                           promote_options="permissive")
+    tabs = [t for t in _collect_refs(agg) if t.num_rows]
+    if not tabs:  # no doc has >=2 tokens: empty model, like the oracle
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), 0, 0
+    tbl = pa.concat_tables(tabs, promote_options="permissive")
     kp = tbl.column("kp").to_numpy(zero_copy_only=False)
     h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
     h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
@@ -441,20 +444,24 @@ def build_bigram_lm(ds, text_col: str = "text"):
     if h1s.size:
         c1_per = np.add.reduceat(c2s, first)
         c1[o] = np.repeat(c1_per, np.diff(np.append(first, h1s.size)))
-    # lp per model row via memoized math.log over distinct (c2, c1) pairs
-    memo: dict[tuple[int, int], int] = {}
+    # lp per model row: math.log (the correctly-rounded libm path DuckDB's
+    # ln uses — np.log is NOT guaranteed bit-identical) evaluated once per
+    # DISTINCT (c2, c1) pair, scattered back by np.unique's inverse — the
+    # Python loop runs over distinct count pairs (tiny; Zipf), never over
+    # model rows
     half_v = 0.5 * vocab
-    lpm = np.empty(c2.size, np.int64)
-    for i in range(c2.size):
-        key = (int(c2[i]), int(c1[i]))
-        v = memo.get(key)
-        if v is None:
-            v = math.floor(math.log((key[0] + 0.5) / (key[1] + half_v))
-                           * 1000000.0)
-            memo[key] = v
-        lpm[i] = v
+    pairs = np.stack([c2, c1], axis=1)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    lp_u = np.fromiter(
+        (math.floor(math.log((a + 0.5) / (b + half_v)) * 1000000.0)
+         for a, b in uniq),
+        dtype=np.int64, count=uniq.shape[0])
+    lpm = lp_u[inv.reshape(-1)]
+    # global unseen-bigram fallback for reuse as a filter on NEW text
+    # (c1=0 smoothing floor; the same-corpus oracle queries never hit it)
+    unseen = math.floor(math.log(0.5 / (0.5 * max(vocab, 1))) * 1000000.0)
     o = np.argsort(kp, kind="stable")
-    return kp[o], lpm[o], kp.size
+    return kp[o], lpm[o], kp.size, unseen
 
 
 class BigramLMScorer:
@@ -475,16 +482,29 @@ class BigramLMScorer:
         d = (_ray.get(self._ref)
              if isinstance(self._ref, _ray.ObjectRef) else self._ref)
         self.kp, self.lpm = d["kp"], d["lpm"]
+        self.unseen = d.get("unseen_lpm")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.kp is None:
             self._resolve()
         _, _, kp, row = _bigram_keys(batch.column(self.text_col))
         ix = np.searchsorted(self.kp, kp)
-        # every scored bigram exists in the model (it was built on the
-        # same corpus); clip only guards an empty model
         ix = np.minimum(ix, max(self.kp.size - 1, 0))
-        lpm = self.lpm[ix] if self.kp.size else np.zeros(kp.size, np.int64)
+        if self.kp.size:
+            hit = self.kp[ix] == kp
+            lpm = self.lpm[ix]
+        else:
+            hit = np.zeros(kp.size, bool)
+            lpm = np.zeros(kp.size, np.int64)
+        if not hit.all():
+            # bigram absent from the model — scoring NEW text: use the
+            # broadcast unseen-bigram smoothing floor, never a neighboring
+            # model row's score; fail loudly if the model predates it
+            if self.unseen is None:
+                raise ValueError(
+                    f"{int((~hit).sum())} bigrams absent from the LM and "
+                    "no 'unseen_lpm' in the broadcast model dict")
+            lpm = np.where(hit, lpm, np.int64(self.unseen))
         n_rows = batch.num_rows
         n_big = np.bincount(row, minlength=n_rows).astype(np.int64)
         # float64 bincount weights are exact for |int| < 2^53

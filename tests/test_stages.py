@@ -1030,9 +1030,10 @@ def test_bigram_lm_vs_python_oracle(ray_session):
         want[d] = (len(bs), s)
 
     ds = rd.from_items(rows).repartition(3)
-    kp, lpm, n_model = build_bigram_lm(ds)
+    kp, lpm, n_model, unseen = build_bigram_lm(ds)
     assert n_model == len(c2)
-    ref = ray.put({"kp": kp, "lpm": lpm})
+    assert unseen <= 0
+    ref = ray.put({"kp": kp, "lpm": lpm, "unseen_lpm": unseen})
     got = ds.map_batches(BigramLMScorer, fn_constructor_args=(ref,),
                          batch_format="pyarrow", zero_copy_batch=True,
                          concurrency=(1, 2)).to_pandas()
@@ -1040,6 +1041,70 @@ def test_bigram_lm_vs_python_oracle(ray_session):
                for r in got.itertuples()}
     assert got_map == want
     assert 2 not in got_map and 3 not in got_map
+
+
+def test_bigram_lm_empty_and_unseen(ray_session):
+    """Edge cases from review: a corpus where no doc has >=2 tokens yields
+    an EMPTY model (no crash); scoring NEW text against a trained model
+    assigns unseen bigrams the broadcast smoothing floor instead of a
+    neighboring model row's score."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ml_data_pipeline_ray.stages.text import (BigramLMScorer,
+                                                  build_bigram_lm)
+
+    # 1) bigram-free corpus -> empty model, scorer emits nothing
+    ds0 = rd.from_items([{"doc_id": 0, "text": "single"},
+                         {"doc_id": 1, "text": ""},
+                         {"doc_id": 2, "text": " ., "}]).repartition(2)
+    kp, lpm, n_model, unseen = build_bigram_lm(ds0)
+    assert n_model == 0 and kp.size == 0 and lpm.size == 0
+    ref0 = ray.put({"kp": kp, "lpm": lpm, "unseen_lpm": unseen})
+    out0 = ds0.map_batches(BigramLMScorer, fn_constructor_args=(ref0,),
+                           batch_format="pyarrow", concurrency=1,
+                           zero_copy_batch=True).to_pandas()
+    assert len(out0) == 0
+
+    # 2) unseen bigrams on new text score the c1=0 smoothing floor
+    train = rd.from_items([{"doc_id": 0, "text": "the cat sat"}])
+    kp, lpm, _, unseen = build_bigram_lm(train)
+    vocab = 3  # the cat sat
+    assert unseen == math.floor(math.log(0.5 / (0.5 * vocab)) * 1e6)
+    ref = ray.put({"kp": kp, "lpm": lpm, "unseen_lpm": unseen})
+    new = rd.from_items([{"doc_id": 9, "text": "zebra quux totally unseen"}])
+    got = new.map_batches(BigramLMScorer, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=1,
+                          zero_copy_batch=True).to_pandas()
+    assert int(got.n_bigrams[0]) == 3
+    assert int(got.lp_micro_sum[0]) == 3 * unseen
+    # legacy model dict without the fallback fails loudly, never silently
+    ref_old = ray.put({"kp": kp, "lpm": lpm})
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unseen_lpm"):
+        new.map_batches(BigramLMScorer, fn_constructor_args=(ref_old,),
+                        batch_format="pyarrow", concurrency=1,
+                        zero_copy_batch=True).to_pandas()
+
+
+def test_dup_ngram_spans_tokenless_corpus(ray_session, tmp_path):
+    """Review edge case: a corpus where no document yields a token must
+    return the typed empty result (the oracle's shape), not KeyError."""
+    import pyarrow.parquet as pq
+    from ml_data_pipeline_ray.pipelines.text_queries import \
+        docs_dup_ngram_spans
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["", " ., "]),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["a", "b"]),
+                  "n_chars": pa.array([0, 4], pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = docs_dup_ngram_spans(str(tmp_path))
+    assert list(out.columns) == ["doc_id", "n_grams", "n_dup_grams"]
+    assert len(out) == 0
 
 
 def test_bpe_token_regex_arrow_duckdb_parity():
